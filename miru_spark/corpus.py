@@ -1,0 +1,120 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Schema is exactly BASELINE.json's input_hint:
+    (repo:string, path:string, commit:string, lang:string, content:string)
+
+Every row is a pure function of (seed, row index): we derive a per-row
+numpy PCG64 generator seeded with (seed, i), so ids / shas / token draws are
+bit-stable across runs, partition counts, and parallelism levels — the
+property SURVEY.md §7 ("dense doc-id stability") requires for resume tests.
+
+Generation is distributed: `spark.range(n)` → `mapInArrow` batches, each
+batch synthesizing its own rows. No driver-side materialization, so the same
+code generates the sf0.1 bench corpus and would generate a 10^12-row corpus
+on a real cluster (partition count scales with `spark.range`'s parallelism).
+
+Content mirrors the fixture spec: 50-2000 tokens drawn Zipf(s=1.1) from a
+20k-identifier vocabulary + language keyword tables + operators, with hot
+terms ("license", "copyright", "the", "import") injected into >60% of rows
+to exercise skew salting (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+SEED = 42
+VOCAB_SIZE = 20_000
+
+LANGS = ["java", "py", "js", "go", "md"]
+LANG_WEIGHTS = np.array([0.3, 0.25, 0.2, 0.15, 0.1])
+LANG_EXT = {"java": "java", "py": "py", "js": "js", "go": "go", "md": "md"}
+LANG_KEYWORDS = {
+    "java": ["public", "class", "static", "void", "import", "return", "new", "final"],
+    "py": ["def", "import", "return", "class", "self", "none", "lambda", "yield"],
+    "js": ["function", "const", "let", "return", "import", "export", "async", "await"],
+    "go": ["func", "package", "import", "return", "defer", "chan", "go", "struct"],
+    "md": ["the", "a", "and", "to", "of", "in", "is", "for"],
+}
+HOT_TERMS = ["license", "copyright", "the", "import"]
+OPERATORS = ["=", "==", "->", "{", "}", "(", ")", ";", "+", "//"]
+
+
+def _vocab() -> list[str]:
+    """20k deterministic identifiers: ident_00000 .. plus camel/snake variants."""
+    out = []
+    for i in range(VOCAB_SIZE):
+        base = f"ident{i:05d}"
+        if i % 3 == 1:
+            base = f"get{base.capitalize()}Value"
+        elif i % 3 == 2:
+            base = f"{base}_impl"
+        out.append(base)
+    return out
+
+
+_VOCAB = _vocab()
+
+
+def row_record(i: int, seed: int = SEED) -> dict[str, str]:
+    """One corpus row — pure function of (seed, i)."""
+    rng = np.random.Generator(np.random.PCG64([seed, i]))
+    repo = f"org{i % 7}/repo{i % 97}"
+    lang = LANGS[int(rng.choice(len(LANGS), p=LANG_WEIGHTS))]
+    name = f"file{int(rng.integers(0, 10_000)):04d}"
+    path = f"src/dir{int(rng.integers(0, 50)):02d}/{name}.{LANG_EXT[lang]}"
+    commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()[:40]
+
+    n_tokens = int(rng.integers(50, 2001))
+    # Zipf(s=1.1) over the vocabulary, clipped into range.
+    zipf_ids = np.minimum(rng.zipf(1.1, size=n_tokens) - 1, VOCAB_SIZE - 1)
+    toks = [_VOCAB[int(z)] for z in zipf_ids]
+    # sprinkle language keywords (~10% positions) and operators (~15%)
+    kw = LANG_KEYWORDS[lang]
+    kw_pos = rng.integers(0, n_tokens, size=max(1, n_tokens // 10))
+    for p in kw_pos:
+        toks[int(p)] = kw[int(p) % len(kw)]
+    op_pos = rng.integers(0, n_tokens, size=max(1, n_tokens * 3 // 20))
+    for p in op_pos:
+        toks[int(p)] = OPERATORS[int(p) % len(OPERATORS)]
+    # hot terms in >60% of rows (skew fixture)
+    if rng.random() < 0.65:
+        for h, hp in zip(HOT_TERMS, rng.integers(0, n_tokens, size=len(HOT_TERMS))):
+            toks[int(hp)] = h
+    # line breaks every 5-12 tokens
+    parts: list[str] = []
+    j = 0
+    while j < n_tokens:
+        stride = int(rng.integers(5, 13))
+        parts.append(" ".join(toks[j : j + stride]))
+        j += stride
+    content = "\n".join(parts)
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def corpus_df(spark, n_rows: int, seed: int = SEED, num_partitions: int | None = None):
+    """Distributed deterministic corpus of n_rows as a Spark DataFrame."""
+    num_partitions = num_partitions or max(1, min(n_rows // 250, 256))
+    base = spark.range(0, n_rows, 1, num_partitions)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            rows = [row_record(int(i), seed) for i in ids]
+            yield pa.RecordBatch.from_pylist(rows)
+
+    return base.mapInArrow(gen, CORPUS_SCHEMA)
+
+
+def corpus_pandas(n_rows: int, seed: int = SEED):
+    """Driver-side corpus (for oracles / tiny tests)."""
+    import pandas as pd
+
+    return pd.DataFrame([row_record(i, seed) for i in range(n_rows)])

@@ -1,0 +1,162 @@
+"""Full-text top-k query over the inverted index (SURVEY.md §2.4, §3.2).
+
+Two scorers, both with the reference's tie-break (score desc, doc id desc —
+miru-stream-plugins/.../fulltext/FullTextAnswer.java:80-89):
+
+* ``bm25`` — Okapi BM25 (k1=1.2, b=0.75), idf = ln(1 + (N-df+0.5)/(df+0.5)).
+  The north_rule's primary scorer.
+* ``miru_tfidf`` — the reference's exact formula: per query term,
+  multiplier = qtf / Σtf(global); score_d = Σ multiplier * tf(t,d)
+  (miru-stream-plugins/.../fulltext/FullText.java:118-127, 188-199; Σtf is
+  the docId=-1 global cardinality cell, LabFieldIndex.java:474-476).
+* ``time`` — the TIME strategy: newest k docs, score 0.0
+  (FullText.collectTime, FullText.java:222-251).
+
+Determinism: per-doc scores are summed in ascending term order via
+``aggregate(array_sort(collect_list(struct(term, contrib))))`` so float
+results are bit-stable across partition counts and match the DuckDB oracle's
+``list_aggregate(list(c ORDER BY term), 'sum')`` op-for-op. Emitted scores
+are rounded to 6 decimals and the rounded value is the sort key.
+
+Plan shape at scale: the only big-table touch is the postings scan with the
+query terms pushed down (`term IN (...)` reaches the parquet reader); the
+query-term table and per-term stats are broadcast; the winners→docs gather
+join happens after LIMIT (lazy materialization, FullText.java:204-217).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.filters import Clause, QuerySpec, parse_query
+from miru_spark.operators.build import IndexHandle
+
+K1 = 1.2
+B = 0.75
+
+
+def expand_clauses(index: IndexHandle, spec: QuerySpec) -> list[tuple[str, int, int]]:
+    """Resolve prefix clauses against the term dictionary.
+
+    Returns [(term, qtf, clause_id)]. Wildcard expansion is a lexicographic
+    range scan of the dictionary capped at max_expansion, mirroring
+    MiruAggregateUtil.java:826-839 + MiruTermComposer.makeUpperExclusive.
+    """
+    out: list[tuple[str, int, int]] = []
+    for cid, cl in enumerate(spec.positive):
+        if not cl.prefix:
+            out.append((cl.term, cl.qtf, cid))
+            continue
+        rows = (
+            index.stats.filter(F.col("term").like(cl.term + "%"))
+            .select("term")
+            .orderBy("term")
+            .limit(spec.max_expansion)
+            .collect()
+        )
+        out.extend((r["term"], cl.qtf, cid) for r in rows)
+    return out
+
+
+def expand_negatives(index: IndexHandle, spec: QuerySpec) -> list[str]:
+    terms: list[str] = []
+    for cl in spec.negative:
+        if cl.prefix:
+            rows = (
+                index.stats.filter(F.col("term").like(cl.term + "%"))
+                .select("term")
+                .orderBy("term")
+                .limit(spec.max_expansion)
+                .collect()
+            )
+            terms.extend(r["term"] for r in rows)
+        else:
+            terms.append(cl.term)
+    return terms
+
+
+def _contrib_col(scorer: str, n_docs: int, avgdl: float) -> F.Column:
+    tf = F.col("tf").cast("double")
+    qtf = F.col("qtf").cast("double")
+    if scorer == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        tfn = (tf * F.lit(K1 + 1.0)) / (
+            tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        )
+        return qtf * idf * tfn
+    if scorer == "miru_tfidf":
+        # exact reference op order: (qtf * tf) / cum_tf  (FullText.java:118-127)
+        return (qtf * tf) / F.col("cum_tf")
+    raise ValueError(f"unknown scorer {scorer}")
+
+
+def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
+    """(part, doc_id, doc_key, score, matched) for every doc matching ≥1
+    positive clause, minus docs matching any negative term (pButNotQ)."""
+    spark = index.docs.sparkSession
+    expanded = expand_clauses(index, spec)
+    if not expanded:
+        return spark.createDataFrame(
+            [], "part int, doc_id int, doc_key long, score double, matched long"
+        )
+    q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
+    terms = sorted({t for t, _, _ in expanded})
+
+    cand = (
+        index.flat.filter(F.col("term").isin(terms))  # pushed to the scan
+        .join(F.broadcast(q), "term")
+        .join(F.broadcast(index.stats.filter(F.col("term").isin(terms))), "term")
+        .join(index.lens, ["part", "doc_id"])
+    )
+    contrib = cand.withColumn(
+        "contrib", _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl)
+    )
+    scored = contrib.groupBy("part", "doc_id", "doc_key").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score"),
+        F.count_distinct("clause").alias("matched"),
+    )
+    if spec.op == "and":
+        scored = scored.filter(F.col("matched") == len(spec.positive))
+    neg_terms = expand_negatives(index, spec)
+    if neg_terms:
+        neg_docs = index.flat.filter(F.col("term").isin(neg_terms)).select(
+            "part", "doc_id"
+        )
+        scored = scored.join(neg_docs, ["part", "doc_id"], "left_anti")
+    return scored
+
+
+def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str = "bm25") -> DataFrame:
+    """Global top-k (doc_key, score) — ordered LIMIT = the reference's
+    cross-partition merge (FullTextAnswerMerger.java:31-68)."""
+    spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
+    if spec.scorer == "time":
+        # TIME strategy: descending insertion order, score 0.0
+        return (
+            index.lens.orderBy(F.desc("doc_key"))
+            .limit(spec.k)
+            .select(F.col("doc_key").alias("doc"), F.lit(0.0).alias("score"))
+        )
+    scored = score_candidates(index, spec)
+    return (
+        scored.withColumn("score_r", F.round("score", 6))
+        .orderBy(F.desc("score_r"), F.desc("doc_key"))
+        .limit(spec.k)
+        .select(F.col("doc_key").alias("doc"), F.col("score_r").alias("score"))
+    )
+
+
+def gather(index: IndexHandle, winners: DataFrame, gather_cols: list[str]) -> DataFrame:
+    """Join winners back to stored fields — after LIMIT, so materialization
+    is lazy like the reference's Promise gather (FullText.java:253-280)."""
+    return winners.join(index.docs, winners["doc"] == index.docs["doc_key"], "left").select(
+        "doc", "score", *gather_cols
+    )
