@@ -1,38 +1,242 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the equivalent
+DuckDB SQL over the same parquet views. Column names and rounding are
+synchronized between the two sides (see miru_spark/oracles.py docstring).
+
+Approximate operators (MinHash-LSH with verification margin discussion,
+SimHash, hyperplane-LSH cosine) that are not exactly SQL-expressible have
+queries() entries without oracle entries → rows-only check; their recall vs
+the exact operator is asserted in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.filters import parse_query
+from miru_spark.operators import analytics, dedup, fulltext, reco, similarity, textstats
+from miru_spark.operators.build import build_index
+from miru_spark import oracles
+
+_INDEX_CACHE: dict[str, object] = {}
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make miru_spark importable on executors regardless of caller cwd."""
+    try:
+        from miru_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or driver-only plan
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        _ship_package(spark)
+        _INDEX_CACHE[key] = build_index(
+            _docs(spark, sf_dir),
+            text_col="text",
+            dense_id_col="doc_id",
+            capacity=128,
+            hot_df_threshold=64,
+            salt_buckets=4,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 conjunction top-k + stored-field gather on sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    winners = fulltext.top_k(idx, "spark AND join", k=20, scorer="bm25")
+    return fulltext.gather(idx, winners, ["lang", "source", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Full-text query set (FIXTURES.md §2 shape: single/AND/OR/NOT/prefix, both
+# scorers). k=100 > matching-doc count at sf0.01 is fine — LIMIT still binds.
+# ---------------------------------------------------------------------------
+_FULLTEXT = {
+    "fulltext_bm25_single_common": ("spark", "bm25"),
+    "fulltext_bm25_single_rare": ("dup", "bm25"),
+    "fulltext_bm25_and2": ("spark AND join", "bm25"),
+    "fulltext_bm25_and3": ("spark join merge", "bm25"),
+    "fulltext_bm25_or": ("spark OR vector OR dup", "bm25"),
+    "fulltext_bm25_andnot": ("merge NOT window", "bm25"),
+    "fulltext_bm25_prefix": ("s*", "bm25"),
+    "fulltext_bm25_and_prefix": ("dup AND s*", "bm25"),
+    "fulltext_tfidf_single": ("spark", "miru_tfidf"),
+    "fulltext_tfidf_or": ("spark OR join", "miru_tfidf"),
+}
+
+
+def _ft_query(q: str, scorer: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fulltext.top_k(_index(spark, sf_dir), parse_query(q, k=100, scorer=scorer))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (qs, scorer) in _FULLTEXT.items():
+        q[name] = _ft_query(qs, scorer)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # index-structure queries
+    q["term_stats"] = lambda s, d: (
+        _index(s, d).stats.orderBy(F.desc("df"), F.asc("term")).limit(100)
+    )
+    q["corpus_stats"] = lambda s, d: _index(s, d).lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    q["content_sha"] = lambda s, d: _index(s, d).docs.select(
+        F.col("doc_key").alias("doc"), F.col("content_sha").alias("sha")
+    )
+
+    # context operators (SURVEY.md §2.5) over events / lineitem
+    q["distincts_event_types"] = lambda s, d: analytics.distinct_values(
+        _events(s, d), "event_type"
+    )
+    q["uniques_users"] = lambda s, d: analytics.uniques(_events(s, d), "user_id")
+    q["distinct_count_error_users"] = lambda s, d: analytics.distinct_count(
+        _events(s, d), "user_id", F.col("event_type") == "error"
+    )
+    q["aggregate_counts_by_type"] = lambda s, d: analytics.aggregate_counts(
+        _events(s, d), "event_type", "ts"
+    )
+    q["analytics_waveform_hourly"] = lambda s, d: analytics.waveform(
+        _events(s, d), "ts", "event_type", "hour"
+    )
+    q["metrics_daily"] = lambda s, d: analytics.metrics(_events(s, d), "ts", "value", "day")
+    q["anomaly_error_rate_daily"] = lambda s, d: analytics.anomaly_ratio(
+        _events(s, d), "ts", "value", F.col("event_type") == "error", "day"
+    )
+    q["trending_peaks_daily"] = lambda s, d: analytics.trending_peaks(
+        _events(s, d), "ts", "event_type", "day"
+    )
+    q["stumptown_last50_errors"] = lambda s, d: analytics.last_n(
+        _events(s, d),
+        ["ts", "event_id"],
+        50,
+        F.col("event_type") == "error",
+        ["event_id", "ts", "user_id", "value"],
+    )
+    q["reco_collaborative"] = lambda s, d: reco.collaborative_filter(
+        s.read.parquet(f"{d}/lineitem.parquet")
+        .join(
+            s.read.parquet(f"{d}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_partkey"),
+        "o_custkey",
+        "l_partkey",
+        user_id=1,
+        k=20,
+    )
+
+    # training-data operators over documents / embeddings
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d), "doc_id", "text")
+    q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
+        _docs(s, d), "doc_id", "text", n=3, threshold=0.8
+    )
+    q["dedup_minhash_lsh_pairs"] = lambda s, d: dedup.minhash_dedup_pairs(
+        _docs(s, d), "doc_id", "text", n=3, threshold=0.85
+    )
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), "doc_id", "text", max_hamming=3
+    )
+    q["text_quality"] = lambda s, d: textstats.quality(_docs(s, d), "doc_id", "text")
+    q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text")
+    q["doc_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d), "doc_id", "text")
+    q["text_langid"] = lambda s, d: textstats.langid_lite(_docs(s, d), "doc_id", "text")
+    q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _emb(s, d), "vec_id", "embedding", _query_vec(s, d), k=50
+    )
+    q["embedding_neardup_pairs"] = lambda s, d: similarity.cosine_pairs(
+        _emb(s, d), "vec_id", "embedding", threshold=0.95
+    )
+    q["embedding_lsh_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
+        _emb(s, d), "vec_id", "embedding", threshold=0.95
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for name, (qs, scorer) in _FULLTEXT.items():
+        o[name] = oracles.fulltext_topk_sql(parse_query(qs, k=100, scorer=scorer))
+
+    o["term_stats"] = oracles.term_stats_sql(limit=100)
+    o["corpus_stats"] = oracles.doc_stats_sql()
+    o["content_sha"] = "SELECT doc_id AS doc, sha256(text) AS sha FROM documents"
+
+    o["distincts_event_types"] = oracles.distinct_values_sql("events", "event_type")
+    o["uniques_users"] = oracles.uniques_sql("events", "user_id")
+    o["distinct_count_error_users"] = oracles.distinct_count_sql(
+        "events", "user_id", "event_type = 'error'"
+    )
+    o["aggregate_counts_by_type"] = oracles.aggregate_counts_sql("events", "event_type", "ts")
+    o["analytics_waveform_hourly"] = oracles.waveform_sql("events", "ts", "event_type", "hour")
+    o["metrics_daily"] = oracles.metrics_sql("events", "ts", "value", "day")
+    o["anomaly_error_rate_daily"] = oracles.anomaly_ratio_sql(
+        "events", "ts", "event_type = 'error'", "day"
+    )
+    o["trending_peaks_daily"] = oracles.trending_peaks_sql("events", "ts", "event_type", "day")
+    o["stumptown_last50_errors"] = oracles.last_n_sql(
+        "events",
+        ["ts", "event_id"],
+        50,
+        "event_type = 'error'",
+        ["event_id", "ts", "user_id", "value"],
+    )
+    o["reco_collaborative"] = oracles.collaborative_filter_sql(user_id=1, k=20)
+
+    o["dedup_exact_groups"] = oracles.exact_dup_groups_sql()
+    o["dedup_jaccard_pairs"] = oracles.jaccard_pairs_sql(n=3, threshold=0.8)
+    # dedup_minhash_lsh_pairs: exact-verified output equals the exact jaccard
+    # pairs at the same threshold up to negligible LSH miss probability
+    # ((1-j^4)^32 ≈ 6e-11 at j=0.85) — safe to oracle-gate.
+    o["dedup_minhash_lsh_pairs"] = oracles.jaccard_pairs_sql(n=3, threshold=0.85)
+    # dedup_simhash_pairs / embedding_lsh_pairs: approximate candidate sets,
+    # intentionally no oracle (rows-only check); recall tested in tests/.
+    o["text_quality"] = oracles.quality_sql()
+    o["text_token_counts"] = oracles.token_counts_sql()
+    o["doc_fingerprint"] = oracles.fingerprint_sql()
+    o["text_langid"] = oracles.langid_lite_sql()
+    o["embedding_cosine_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
+    o["embedding_neardup_pairs"] = oracles.cosine_pairs_sql(threshold=0.95)
+    return o

@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Default mode: run the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the same index-build job at local[8] and local[32] in
+subprocesses on identical input and write BENCH/BASELINE.md with throughput
+at both parallelism levels + efficiency = (T_8 / T_32) / 4 — the sandbox
+evidence for the north_rule's N→4N ≥ 0.8 scaling criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS_ROWS", "20000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def build_corpus_index(spark, n_rows: int):
+    """Index-build throughput job over the synthetic source-code corpus
+    (input_hint shape), read from parquet so generation cost is excluded.
+    Returns (docs/sec, n_postings, sec)."""
+    import tempfile
+
+    from miru_spark.corpus import materialize_corpus
+    from miru_spark.operators.build import build_index
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"miru_bench_corpus_{n_rows}.parquet"
+    )
+    if not os.path.exists(corpus_path):
+        materialize_corpus(spark, n_rows, corpus_path)
+    src = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    idx = build_index(
+        src,
+        text_col="content",
+        natural_key=["repo", "path", "commit"],
+        capacity=1 << 20,
+        hot_df_threshold=max(200, n_rows // 10),
+        cache=False,
+    )
+    n_postings = idx.packed.count()
+    dt = time.perf_counter() - t0
+    return n_rows / dt, n_postings, dt
+
+
+def run_suite() -> dict:
+    from miru_spark.session import get_spark
+    from miru_spark.filters import parse_query
+    from miru_spark.operators import analytics, dedup, fulltext, similarity
+    from miru_spark.operators.build import build_index
+    from pyspark.sql import functions as F
+
+    spark = get_spark("miru_spark_bench", master=f"local[{CPUS}]")
+    queries: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    # 1. index build over the documents table at this SF
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    idx = build_index(docs, text_col="text", dense_id_col="doc_id", capacity=1024,
+                      hot_df_threshold=64, salt_buckets=4)
+    idx.packed.count()
+    idx.flat.count()
+    queries["build_documents"] = time.perf_counter() - t0
+
+    # 2. index build over the synthetic code corpus (input_hint shape)
+    t0 = time.perf_counter()
+    corpus_dps, _, corpus_dt = build_corpus_index(spark, CORPUS_ROWS)
+    queries["build_corpus"] = corpus_dt
+
+    # 3. query latencies (warm the cached index first so timings measure the
+    # query path, not lazy cache materialization)
+    fulltext.top_k(idx, "the", k=10).collect()
+
+    def _t(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = time.perf_counter() - t
+
+    _t("q_bm25_single", lambda: fulltext.top_k(idx, "spark", k=100).collect())
+    _t("q_bm25_and3", lambda: fulltext.top_k(idx, "spark join merge", k=100).collect())
+    _t("q_bm25_or", lambda: fulltext.top_k(idx, "spark OR vector OR dup", k=100).collect())
+    _t("q_bm25_prefix", lambda: fulltext.top_k(idx, "s*", k=100).collect())
+    _t("q_tfidf", lambda: fulltext.top_k(
+        idx, parse_query("spark OR join", k=100, scorer="miru_tfidf")).collect())
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _t("q_waveform", lambda: analytics.waveform(events, "ts", "event_type", "hour").collect())
+    _t("q_trending", lambda: analytics.trending_peaks(events, "ts", "event_type", "day").collect())
+
+    _t("q_minhash_dedup", lambda: dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.85).collect())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    _t("q_cosine_topk", lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 50).collect())
+
+    total = time.perf_counter() - t_total0
+    spark.stop()
+    return {
+        "metric": "headline suite wall time (index builds + query latencies)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf_from_dir(SF_DIR),
+        "n_docs": n_docs,
+        "corpus_rows": CORPUS_ROWS,
+        "corpus_build_docs_per_sec": round(corpus_dps, 1),
+        "cpus": int(CPUS),
+    }
+
+
+def _scaling_child(cpus: int, n_rows: int) -> None:
+    from miru_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    dps, n_postings, dt = build_corpus_index(spark, n_rows)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": dps, "sec": dt, "n_postings": n_postings}))
+    spark.stop()
+
+
+def run_scaling(n_rows: int = CORPUS_ROWS) -> dict:
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus), str(n_rows)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = (t8 / t32) / 4.0
+    report = {
+        "n_rows": n_rows,
+        "local8_sec": round(t8, 2),
+        "local32_sec": round(t32, 2),
+        "local8_docs_per_sec": round(results[8]["docs_per_sec"], 1),
+        "local32_docs_per_sec": round(results[32]["docs_per_sec"], 1),
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "n_postings": results[32]["n_postings"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH baseline — measured on this sandbox\n\n"
+            "Index-build job (synthetic source-code corpus, input_hint shape, "
+            f"{n_rows} rows): tokenize → posting lists → salted merge → pack.\n\n"
+            "| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
+            f"| local[8] (N) | {report['local8_sec']} | {report['local8_docs_per_sec']} |\n"
+            f"| local[32] (4N) | {report['local32_sec']} | {report['local32_docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (T_N / T_4N) / 4 = {report['scaling_efficiency_N_to_4N']}** "
+            "(north_rule target ≥ 0.8; evidenced at two parallelism levels on "
+            "identical input per driver instruction — no real cluster in this sandbox).\n\n"
+            f"Packed posting segments produced: {report['n_postings']}.\n"
+        )
+    return report
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

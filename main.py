@@ -1,0 +1,110 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files $(python -c 'from miru_spark.session import package_zip; print(package_zip())') \
+        main.py build  --input <parquet/iceberg dir> --index <index_dir> [--text-col content]
+    spark-submit ... main.py query  --index <index_dir> --q "spark AND join" [--k 100] [--scorer bm25]
+    spark-submit ... main.py bench
+    spark-submit ... main.py gen-corpus --rows 100000 --out <dir>
+
+The HTTP plugin endpoint of the reference (FullTextEndpoints) maps to this
+CLI: a query returns one JSON document on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(app: str):
+    from miru_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_build(args) -> None:
+    from miru_spark.index_store import build_persistent
+
+    spark = _spark("miru_build")
+    src = spark.read.parquet(args.input)
+    natural_key = args.natural_key.split(",") if args.natural_key else None
+    rep = build_persistent(
+        src,
+        args.index,
+        text_col=args.text_col,
+        dense_id_col=args.dense_id_col,
+        natural_key=natural_key or (None if args.dense_id_col else ["repo", "path", "commit"]),
+        capacity=args.capacity,
+        wave_size=args.wave_size,
+    )
+    print(json.dumps(rep.__dict__))
+
+
+def cmd_query(args) -> None:
+    from miru_spark.index_store import load_index
+    from miru_spark.operators import fulltext, wand
+
+    spark = _spark("miru_query")
+    idx = load_index(spark, args.index)
+    if args.engine == "wand":
+        res = wand.wand_topk(idx, args.q, k=args.k, scorer=args.scorer)
+    else:
+        res = fulltext.top_k(idx, args.q, k=args.k, scorer=args.scorer)
+    rows = [{"doc": r["doc"], "score": r["score"]} for r in res.collect()]
+    print(json.dumps({"query": args.q, "scorer": args.scorer, "k": args.k, "results": rows}))
+
+
+def cmd_gen_corpus(args) -> None:
+    from miru_spark.corpus import materialize_corpus
+
+    spark = _spark("miru_gen_corpus")
+    materialize_corpus(spark, args.rows, args.out)
+    print(json.dumps({"rows": args.rows, "out": args.out}))
+
+
+def cmd_bench(_args) -> None:
+    import bench
+
+    print(json.dumps(bench.run_suite()))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="miru_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--dense-id-col", default=None)
+    b.add_argument("--natural-key", default=None, help="comma-separated columns")
+    b.add_argument("--capacity", type=int, default=1 << 20)
+    b.add_argument("--wave-size", type=int, default=8)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=100)
+    q.add_argument("--scorer", default="bm25", choices=["bm25", "miru_tfidf", "time"])
+    q.add_argument("--engine", default="wand", choices=["wand", "dataframe"])
+    q.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    be = sub.add_parser("bench")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ HOT_TERMS = ["license", "copyright", "the", "import"]
 OPERATORS = ["=", "==", "->", "{", "}", "(", ")", ";", "+", "//"]
 
 
-def _vocab() -> list[str]:
+def _vocab() -> np.ndarray:
     """20k deterministic identifiers: ident_00000 .. plus camel/snake variants."""
     out = []
     for i in range(VOCAB_SIZE):
@@ -54,14 +54,18 @@ def _vocab() -> list[str]:
         elif i % 3 == 2:
             base = f"{base}_impl"
         out.append(base)
-    return out
+    return np.array(out, dtype=object)
 
 
 _VOCAB = _vocab()
+_KW_ARRS = {lang: np.array(kws, dtype=object) for lang, kws in LANG_KEYWORDS.items()}
+_OPS_ARR = np.array(OPERATORS, dtype=object)
+_HOT_ARR = np.array(HOT_TERMS, dtype=object)
 
 
 def row_record(i: int, seed: int = SEED) -> dict[str, str]:
-    """One corpus row — pure function of (seed, i)."""
+    """One corpus row — pure function of (seed, i). Token assembly is
+    numpy-vectorized (fancy indexing over object arrays), no per-token loop."""
     rng = np.random.Generator(np.random.PCG64([seed, i]))
     repo = f"org{i % 7}/repo{i % 97}"
     lang = LANGS[int(rng.choice(len(LANGS), p=LANG_WEIGHTS))]
@@ -70,29 +74,30 @@ def row_record(i: int, seed: int = SEED) -> dict[str, str]:
     commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()[:40]
 
     n_tokens = int(rng.integers(50, 2001))
-    # Zipf(s=1.1) over the vocabulary, clipped into range.
-    zipf_ids = np.minimum(rng.zipf(1.1, size=n_tokens) - 1, VOCAB_SIZE - 1)
-    toks = [_VOCAB[int(z)] for z in zipf_ids]
+    # Zipf(s=1.1) over the vocabulary; tail overflow wraps modulo VOCAB_SIZE
+    # (clipping would dump ~37% of mass on one id and fake a hot term).
+    zipf_ids = (rng.zipf(1.1, size=n_tokens) - 1) % VOCAB_SIZE
+    toks = _VOCAB[zipf_ids]
     # sprinkle language keywords (~10% positions) and operators (~15%)
-    kw = LANG_KEYWORDS[lang]
+    kw = _KW_ARRS[lang]
     kw_pos = rng.integers(0, n_tokens, size=max(1, n_tokens // 10))
-    for p in kw_pos:
-        toks[int(p)] = kw[int(p) % len(kw)]
+    toks[kw_pos] = kw[kw_pos % len(kw)]
     op_pos = rng.integers(0, n_tokens, size=max(1, n_tokens * 3 // 20))
-    for p in op_pos:
-        toks[int(p)] = OPERATORS[int(p) % len(OPERATORS)]
+    toks[op_pos] = _OPS_ARR[op_pos % len(_OPS_ARR)]
     # hot terms in >60% of rows (skew fixture)
     if rng.random() < 0.65:
-        for h, hp in zip(HOT_TERMS, rng.integers(0, n_tokens, size=len(HOT_TERMS))):
-            toks[int(hp)] = h
-    # line breaks every 5-12 tokens
-    parts: list[str] = []
-    j = 0
-    while j < n_tokens:
-        stride = int(rng.integers(5, 13))
-        parts.append(" ".join(toks[j : j + stride]))
-        j += stride
-    content = "\n".join(parts)
+        hp = rng.integers(0, n_tokens, size=len(_HOT_ARR))
+        toks[hp] = _HOT_ARR
+    # line breaks every 5-12 tokens: join once, then newline at stride points
+    seps = np.full(n_tokens, " ", dtype=object)
+    strides = rng.integers(5, 13, size=n_tokens // 5 + 2)
+    breaks = np.cumsum(strides)
+    breaks = breaks[breaks < n_tokens]
+    seps[breaks] = "\n"
+    pieces = np.empty(2 * n_tokens - 1, dtype=object)
+    pieces[0::2] = toks
+    pieces[1::2] = seps[1:]
+    content = "".join(pieces.tolist())
     return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
 
 
@@ -111,6 +116,13 @@ def corpus_df(spark, n_rows: int, seed: int = SEED, num_partitions: int | None =
             yield pa.RecordBatch.from_pylist(rows)
 
     return base.mapInArrow(gen, CORPUS_SCHEMA)
+
+
+def materialize_corpus(spark, n_rows: int, path: str, seed: int = SEED) -> str:
+    """Generate and persist the corpus as parquet (generation cost isolated
+    from index-build benchmarks)."""
+    corpus_df(spark, n_rows, seed).write.mode("overwrite").parquet(path)
+    return path
 
 
 def corpus_pandas(n_rows: int, seed: int = SEED):

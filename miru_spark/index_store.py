@@ -1,0 +1,167 @@
+"""Persistent index layout + resumable build (SURVEY.md §7 step 6).
+
+Layout under ``index_dir``:
+
+    manifest.json            checkpoint/lineage (miru_spark.checkpoint)
+    segments/wave=K/         packed posting segments for that wave's parts
+                             (parquet, sorted by term within files so the
+                             query-time `term IN (...)` prunes row groups)
+    stats/                   global (term, df, cum_tf)
+    doclens/                 (part, doc_id, doc_key, dl, content_sha)
+
+Build = waves of doc-partitions (each wave: tokenize → flat → salted
+segments → pack → write → manifest commit), then a final merge stage that
+range-partitions all segments by term (the north_rule's repartitionByRange
+merge; hot terms span multiple (part) rows so the range partitioner splits
+them across output files — plus the in-wave salting already bounded any
+single aggregation). A killed build resumes at wave granularity without
+recomputing finished waves.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.checkpoint import Manifest
+from miru_spark.operators import build as B
+
+
+@dataclass
+class BuildReport:
+    n_parts: int
+    n_waves: int
+    waves_run: int
+    waves_skipped: int
+    n_docs: int
+
+
+def build_persistent(
+    docs_source: DataFrame,
+    index_dir: str,
+    text_col: str = "content",
+    dense_id_col: str | None = None,
+    natural_key: list[str] | None = None,
+    capacity: int = B.DEFAULT_CAPACITY,
+    hot_df_threshold: int = B.DEFAULT_HOT_TERM_DF,
+    salt_buckets: int = B.DEFAULT_SALT_BUCKETS,
+    wave_size: int = 8,
+    merge_partitions: int | None = None,
+    fail_after_wave: int | None = None,
+) -> BuildReport:
+    """Resumable build of the persistent index. ``fail_after_wave`` injects a
+    crash after that wave's commit (kill-resume tests only)."""
+    spark = docs_source.sparkSession
+    docs = B.prepare_docs(docs_source, text_col, dense_id_col, natural_key, capacity).cache()
+    n_docs = docs.count()
+    fingerprint = {
+        "n_docs": n_docs,
+        "capacity": capacity,
+        "text_col": text_col,
+        "id": dense_id_col or ",".join(natural_key or []),
+        "salt_buckets": salt_buckets,
+    }
+    manifest = Manifest.load_or_create(index_dir, fingerprint)
+
+    parts = sorted(r["part"] for r in docs.select("part").distinct().collect())
+    n_waves = math.ceil(len(parts) / wave_size)
+    waves_run = waves_skipped = 0
+
+    for wave_id in range(n_waves):
+        if manifest.wave_done(wave_id):
+            waves_skipped += 1
+            continue
+        wave_parts = parts[wave_id * wave_size : (wave_id + 1) * wave_size]
+        wave_docs = docs.filter(F.col("part").isin(wave_parts))
+        flat = B.flat_postings(wave_docs, text_col)
+        hot = B.detect_hot_terms(flat, hot_df_threshold) if hot_df_threshold else []
+        segments = B.build_segments(flat, hot, salt_buckets)
+        packed = B.pack_segments(segments)
+        (
+            packed.repartition("part")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/segments/wave={wave_id}")
+        )
+        (
+            B.doc_meta(wave_docs, flat)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/doclens/wave={wave_id}")
+        )
+        # per-partition counters (lineage): docs + segments + postings per part
+        seg_counts = {
+            str(r["part"]): {"n_segments": r["n_segments"], "n_postings": r["n_postings"]}
+            for r in spark.read.parquet(f"{index_dir}/segments/wave={wave_id}")
+            .groupBy("part")
+            .agg(
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum("df_part").alias("n_postings"),
+            )
+            .collect()
+        }
+        doc_counts = {
+            str(r["part"]): r["n"]
+            for r in wave_docs.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for p, n in doc_counts.items():
+            seg_counts.setdefault(p, {})["n_docs"] = n
+        manifest.commit_wave(wave_id, wave_parts, seg_counts)
+        waves_run += 1
+        if fail_after_wave is not None and wave_id >= fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {wave_id}")
+
+    # merge stage: global term-range layout + stats (idempotent overwrite)
+    if not manifest.stage_done("ready") or waves_run:
+        all_segments = spark.read.parquet(f"{index_dir}/segments/wave=*")
+        n_merge = merge_partitions or max(4, spark.sparkContext.defaultParallelism)
+        (
+            all_segments.repartitionByRange(n_merge, "term", "part")
+            .sortWithinPartitions("term", "part")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/postings")
+        )
+        stats = B.term_stats(
+            all_segments.select("term", "df_part", "cum_tf_part")
+        )
+        stats.coalesce(4).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        all_lens = spark.read.parquet(f"{index_dir}/doclens/wave=*")
+        row = all_lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        manifest.commit_stage("segments")
+        manifest.commit_stage("stats")
+        manifest.commit_stage(
+            "ready", n_docs=int(row["n"]), avgdl=float(row["avgdl"]), n_parts=len(parts)
+        )
+    return BuildReport(
+        n_parts=len(parts),
+        n_waves=n_waves,
+        waves_run=waves_run,
+        waves_skipped=waves_skipped,
+        n_docs=n_docs,
+    )
+
+
+def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = None) -> B.IndexHandle:
+    """Open a persisted index as an IndexHandle (flat view decoded lazily)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if not manifest["stages"].get("ready"):
+        raise ValueError(f"index at {index_dir} is not ready (resume the build)")
+    info = manifest.get("stage_info", {}).get("ready", {})
+    packed = spark.read.parquet(f"{index_dir}/postings")
+    lens = spark.read.parquet(f"{index_dir}/doclens/wave=*")
+    return B.IndexHandle(
+        docs=docs,
+        flat=B.unpack_postings(packed),
+        segments=None,
+        packed=packed,
+        stats=spark.read.parquet(f"{index_dir}/stats"),
+        lens=lens.select("part", "doc_id", "doc_key", "dl"),
+        corpus=B.CorpusStats(n_docs=int(info["n_docs"]), avgdl=float(info["avgdl"])),
+        hot_terms=[],
+    )

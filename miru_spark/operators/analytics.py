@@ -1,0 +1,126 @@
+"""Context operators: distincts / uniques / counts / waveforms / trending
+(SURVEY.md §2.5). Each is a thin declarative DataFrame plan — Catalyst does
+the heavy lifting (partial aggregation, pushdown); the reference needed
+bespoke bitmap machinery for every one of these.
+
+Reference parity notes per function:
+* distinct_values     — Distincts plugin (miru-reco-plugins/.../distincts/
+                        Distincts.java:41-128, dictionary scan :96-99)
+* uniques             — Uniques plugin (UniquesInjectable.java:39-56)
+* distinct_count      — DistinctCount plugin (miru-stream-plugins/.../count/
+                        DistinctCount.java:30-113)
+* aggregate_counts    — AggregateCounts plugin (miru-stream-plugins/.../
+                        filter/AggregateCounts.java:90-397)
+* waveform            — Analytics plugin histogram (miru-analytics-plugins/
+                        .../analytics/Analytics.java:57-203,
+                        boundedCardinalities MiruBitmaps.java:65-73)
+* metrics             — Metrics plugin (miru-analytics-plugins/.../metrics/
+                        Metrics.java:18-98)
+* anomaly_ratio       — Anomaly plugin rate normalization
+                        (miru-anomaly-plugins/.../Anomaly.java:31-96)
+* trending_peaks      — Trending plugin + PeakDet local maxima
+                        (miru-reco-plugins/.../trending/PeakDet.java:43-117)
+* last_n              — Stumptown log browse (miru-stumptown-plugins/.../
+                        Stumptown.java:27-72) / TIME strategy gather
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_values(df: DataFrame, field: str, prefix: str | None = None) -> DataFrame:
+    out = df.select(F.col(field).alias("value"))
+    if prefix:
+        out = out.filter(F.col("value").startswith(prefix))
+    return out.distinct()
+
+
+def uniques(df: DataFrame, field: str) -> DataFrame:
+    return df.agg(F.count_distinct(F.col(field)).alias("n_unique"))
+
+
+def distinct_count(df: DataFrame, field: str, predicate: Column | None = None) -> DataFrame:
+    out = df.filter(predicate) if predicate is not None else df
+    return out.agg(F.count_distinct(F.col(field)).alias("n_distinct"))
+
+
+def aggregate_counts(df: DataFrame, group_field: str, ts_col: str) -> DataFrame:
+    """Per-group stream rollup: count + oldest/latest timestamp."""
+    return df.groupBy(F.col(group_field).alias("group_value")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts_col).alias("oldest_ts"),
+        F.max(ts_col).alias("latest_ts"),
+    )
+
+
+def waveform(df: DataFrame, ts_col: str, group_field: str, bucket: str = "hour") -> DataFrame:
+    """Time-bucketed counts per group — the Analytics histogram as a
+    tumbling-window count (free partial aggregation, no bitmap ranges)."""
+    return (
+        df.groupBy(
+            F.col(group_field).alias("group_value"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def metrics(df: DataFrame, ts_col: str, value_col: str, bucket: str = "day") -> DataFrame:
+    """sum/avg/min/max of a value per time bucket (Metrics plugin)."""
+    v = F.col(value_col)
+    return df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(v), 6).alias("sum_v"),
+        F.round(F.avg(v), 6).alias("avg_v"),
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(F.max(v), 6).alias("max_v"),
+    )
+
+
+def anomaly_ratio(
+    df: DataFrame, ts_col: str, value_col: str, predicate: Column, bucket: str = "day"
+) -> DataFrame:
+    """Rate normalization: bucketed count of predicate hits ÷ bucket total."""
+    return (
+        df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.sum(F.when(predicate, 1).otherwise(0)).alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .withColumn("rate", F.round(F.col("hits") / F.col("total"), 6))
+    )
+
+
+def trending_peaks(
+    df: DataFrame, ts_col: str, group_field: str, bucket: str = "hour"
+) -> DataFrame:
+    """Count of strict interior local maxima per group's waveform — the
+    PeakDet collection step expressed with window lag/lead instead of a
+    client-side scan."""
+    wf = waveform(df, ts_col, group_field, bucket)
+    w = Window.partitionBy("group_value").orderBy("bucket")
+    flagged = wf.select(
+        "group_value",
+        (
+            (F.col("n") > F.lag("n", 1).over(w)) & (F.col("n") > F.lead("n", 1).over(w))
+        ).alias("is_peak"),
+    )
+    return flagged.groupBy("group_value").agg(
+        F.sum(F.when(F.col("is_peak"), 1).otherwise(0)).alias("n_peaks")
+    )
+
+
+def last_n(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    predicate: Column | None = None,
+    select_cols: list[str] | None = None,
+) -> DataFrame:
+    """Newest-N gather (TIME strategy / stumptown last messages).
+    Ordered LIMIT → Catalyst's per-partition partial top-k then merge."""
+    out = df.filter(predicate) if predicate is not None else df
+    out = out.orderBy(*[F.desc(c) for c in order_cols]).limit(n)
+    return out.select(*select_cols) if select_cols else out

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact and n-gram-Jaccard dedup are exact set algebra (SQL-expressible, oracle
+gated); MinHash+LSH and SimHash are the scale paths — candidate generation is
+approximate but every emitted pair is verified with the exact measure, so
+with adequate (bands × rows) the verified output equals the exact result
+with overwhelming probability (miss probability bounds in docstrings).
+
+The shingle relation is the shared substrate: distinct token n-grams per doc,
+built with pure Catalyst array functions (transform/slice/array_join) — no
+Python in the hot path. At 100 TB the self-join on shingle is the classic
+explode-join; the MinHash path replaces it with a bounded (doc × bands) join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.tokenize import tokens_col
+
+# MinHash parameters: 128 hashes = 32 bands × 4 rows.
+# P(candidate miss | jaccard=j) = (1 - j^4)^32 → 6e-11 at j=0.85, 5e-8 at 0.8.
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4
+# 31-bit Mersenne prime: a*x+b stays < 2^62, no int64 overflow JVM-side;
+# 1/2^31 per-hash collision probability is negligible for dedup candidates.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest. One shuffle, partial agg."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc").alias("canonical"),
+            F.max("doc").alias("max_doc"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, shingle) — distinct token n-grams, Catalyst-only."""
+    t = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j ≥ threshold).
+
+    Self-join on shared shingle → |A∩B|; |A∪B| = |A|+|B|−|A∩B|. The join is
+    the scale bottleneck (hot shingles fan out); MinHash below is the 100 TB
+    path — this exact form is the oracle it must reproduce.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> DataFrame:
+    """(doc, sig: array<long>) — k min-hashes, all JVM-side.
+
+    h_i(s) = (a_i * x + b_i) mod M61 over x = xxhash64(shingle); the min per
+    doc is one groupBy with k aggregate expressions (map-side combinable) —
+    no per-row Python, no explode-by-k blowup.
+    """
+    a, b = _hash_params(k, seed)
+    x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(x * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Banding: docs sharing any band bucket become candidate pairs."""
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.85,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Candidates from banding, then exact Jaccard on just the candidate pairs
+    (join back to shingles), emit pairs with j ≥ threshold. Output is
+    rank-identical to ``jaccard_pairs`` up to the (negligible) LSH miss
+    probability; the expensive all-pairs shingle join never happens.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, k, seed)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("s"))
+    b_sh = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("s"))
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(doc, simhash: long) — 64-bit SimHash over tf-weighted token hashes.
+
+    Expressed as explode → per-bit weighted vote → reassemble, all JVM-side:
+    bit_i(term) comes from xxhash64(term) shifted; the vote is one groupBy
+    with 64 sum expressions (map-side combinable).
+    """
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tf.groupBy("doc").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit 63 of a signed long is -(2^63)
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0))
+    return voted.select("doc", acc.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into 4 × 16-bit chunks — any pair within
+    Hamming 3 shares at least one chunk exactly (pigeonhole), so the join is
+    on chunk equality, never all-pairs.
+    """
+    s = simhash(df, id_col, text_col)
+    chunked = s.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", "cc.chunk", "cc.ckey")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

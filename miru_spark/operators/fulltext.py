@@ -97,7 +97,7 @@ def _contrib_col(scorer: str, n_docs: int, avgdl: float) -> F.Column:
 def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     """(part, doc_id, doc_key, score, matched) for every doc matching ≥1
     positive clause, minus docs matching any negative term (pButNotQ)."""
-    spark = index.docs.sparkSession
+    spark = index.stats.sparkSession  # docs may be absent on a loaded index
     expanded = expand_clauses(index, spec)
     if not expanded:
         return spark.createDataFrame(
@@ -139,6 +139,7 @@ def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str 
     cross-partition merge (FullTextAnswerMerger.java:31-68)."""
     spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
     if spec.scorer == "time":
+        # lens always exists (loaded or in-memory index)
         # TIME strategy: descending insertion order, score 0.0
         return (
             index.lens.orderBy(F.desc("doc_key"))

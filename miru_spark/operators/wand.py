@@ -1,0 +1,313 @@
+"""Per-partition top-k kernels over packed postings (SURVEY.md §2.4, §3.2).
+
+This is the physical query path the north_rule names: block-max WAND over the
+delta+varint posting blocks, executed per doc-partition inside a cogrouped
+``applyInPandas`` (postings for the query terms ⨝ that partition's doc-length
+array), then a global ordered LIMIT — exactly the reference's per-partition
+``FullTextCustomQuestion.askLocal`` + ``FullTextAnswerMerger`` shape
+(miru-stream-plugins/.../fulltext/FullTextCustomQuestion.java:53-118,
+FullTextAnswerMerger.java:31-68). The WAND threshold θ plays the role of the
+cross-partition report's ``lowestScore`` admission bound (FullText.java:129-158),
+maintained per partition here because Spark partitions execute concurrently.
+
+Three kernels, all returning EXACTLY the same (doc, score) set:
+  * ``and``  — rarest-first sorted-array intersection, then vectorized BM25
+               over survivors only (the bitmap-AND fast path).
+  * ``taat`` — dense-accumulator term-at-a-time: acc[ids] += contrib, fully
+               vectorized; exact, no pruning. The robust fallback.
+  * ``wand`` — document-at-a-time block-max WAND: pivot selection on term
+               upper bounds, block skipping via searchsorted over block_last /
+               block_max_tf. Python pivot loop + numpy block decode; heap
+               survivors are rescored with the ascending-term-order float sum
+               so scores are bit-identical to the DataFrame path.
+
+Scale note: per-partition state is O(capacity) (the dense dl/accumulator
+arrays) — bounded by the partition rollover capacity exactly like the
+reference's per-partition bitmaps, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark import codec
+from miru_spark.filters import QuerySpec, parse_query
+from miru_spark.operators.build import IndexHandle
+from miru_spark.operators.fulltext import K1, B, expand_clauses, expand_negatives
+
+
+def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: int, avgdl: float,
+                  qtf: float) -> np.ndarray:
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    return qtf * idf * tfn
+
+
+def _tfidf_contrib(tf: np.ndarray, cum_tf: float, qtf: float) -> np.ndarray:
+    return (qtf * tf) / cum_tf
+
+
+class _TermCtx:
+    __slots__ = ("term", "qtf", "clause", "df", "cum_tf", "ids", "tfs",
+                 "block_last", "block_max_tf", "ub")
+
+    def __init__(self, term, qtf, clause, df, cum_tf, ids, tfs, block_last, block_max_tf):
+        self.term, self.qtf, self.clause = term, qtf, clause
+        self.df, self.cum_tf = df, cum_tf
+        self.ids, self.tfs = ids, tfs
+        self.block_last, self.block_max_tf = block_last, block_max_tf
+        self.ub = 0.0
+
+
+def _decode_terms(pdf: pd.DataFrame, qinfo: dict, stats: dict) -> list[_TermCtx]:
+    out = []
+    for row in pdf.itertuples(index=False):
+        if row.term not in qinfo:
+            continue
+        qtf, clause = qinfo[row.term]
+        df_g, cum_g = stats[row.term]
+        ids = codec.delta_unpack(bytes(row.ids))
+        tfs = codec.tf_unpack(bytes(row.tfs))
+        out.append(
+            _TermCtx(row.term, qtf, clause, df_g, cum_g, ids, tfs,
+                     np.asarray(row.block_last, dtype=np.int64),
+                     np.asarray(row.block_max_tf, dtype=np.int64))
+        )
+    out.sort(key=lambda t: t.term)  # ascending-term order = deterministic sums
+    return out
+
+
+def _exact_scores(terms: list[_TermCtx], doc_ids: np.ndarray, dl_arr: np.ndarray,
+                  scorer: str, n_docs: int, avgdl: float) -> np.ndarray:
+    """Ascending-term-order exact rescore of a candidate id set — float ops
+    identical to the DataFrame path's ordered fold."""
+    scores = np.zeros(len(doc_ids), dtype=np.float64)
+    for t in terms:  # already term-ascending
+        pos = np.searchsorted(t.ids, doc_ids)
+        pos_c = np.minimum(pos, len(t.ids) - 1)
+        hit = (len(t.ids) > 0) & (t.ids[pos_c] == doc_ids)
+        if not np.any(hit):
+            continue
+        tf = t.tfs[pos_c[hit]].astype(np.float64)
+        if scorer == "bm25":
+            c = _bm25_contrib(tf, dl_arr[doc_ids[hit]], t.df, n_docs, avgdl, t.qtf)
+        else:
+            c = _tfidf_contrib(tf, t.cum_tf, t.qtf)
+        scores[hit] = scores[hit] + c
+    return scores
+
+
+def _kernel_and(terms, required_clauses, dl_arr, scorer, n_docs, avgdl, k):
+    """Intersect clause id-sets (rarest first), vectorized rescore."""
+    by_clause: dict[int, np.ndarray] = {}
+    for t in terms:
+        cur = by_clause.get(t.clause)
+        by_clause[t.clause] = t.ids if cur is None else np.union1d(cur, t.ids)
+    if set(by_clause) != set(required_clauses):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cand = None
+    for ids in sorted(by_clause.values(), key=len):
+        cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = _exact_scores(terms, cand, dl_arr, scorer, n_docs, avgdl)
+    return cand, scores
+
+
+def _kernel_taat(terms, dl_arr, scorer, n_docs, avgdl):
+    """Dense-accumulator TAAT: exact OR scoring, fully vectorized."""
+    size = len(dl_arr)
+    acc = np.zeros(size, dtype=np.float64)
+    seen = np.zeros(size, dtype=bool)
+    for t in terms:
+        tf = t.tfs.astype(np.float64)
+        if scorer == "bm25":
+            c = _bm25_contrib(tf, dl_arr[t.ids], t.df, n_docs, avgdl, t.qtf)
+        else:
+            c = _tfidf_contrib(tf, t.cum_tf, t.qtf)
+        acc[t.ids] += c
+        seen[t.ids] = True
+    cand = np.flatnonzero(seen)
+    return cand, acc[cand]
+
+
+def _term_upper_bound(t: _TermCtx, scorer: str, n_docs: int, avgdl: float) -> float:
+    mx = float(t.block_max_tf.max()) if len(t.block_max_tf) else 0.0
+    if scorer == "bm25":
+        # dl→0 maximizes the saturation term
+        return float(_bm25_contrib(np.array([mx]), np.array([0.0]), t.df, n_docs, avgdl, t.qtf)[0])
+    return float(_tfidf_contrib(np.array([mx]), t.cum_tf, t.qtf)[0])
+
+
+def _block_ub(t: _TermCtx, blk: int, scorer: str, n_docs: int, avgdl: float) -> float:
+    mx = float(t.block_max_tf[blk])
+    if scorer == "bm25":
+        return float(_bm25_contrib(np.array([mx]), np.array([0.0]), t.df, n_docs, avgdl, t.qtf)[0])
+    return float(_tfidf_contrib(np.array([mx]), t.cum_tf, t.qtf)[0])
+
+
+def _kernel_wand(terms, dl_arr, scorer, n_docs, avgdl, k):
+    """Document-at-a-time block-max WAND (Broder et al. 2003; Ding & Suel
+    2011 block-max variant). Exact top-k for OR semantics.
+
+    Pointers advance by binary search; a pivot is only evaluated when the sum
+    of term upper bounds reaches θ AND the sum of the current *block* maxima
+    does too (the block-max check) — otherwise we jump past the smallest
+    block boundary. Survivor docs are rescored in ascending-term order for
+    bit-stable floats.
+    """
+    for t in terms:
+        t.ub = _term_upper_bound(t, scorer, n_docs, avgdl)
+    ptrs = {t.term: 0 for t in terms}
+    heap: list[tuple[float, int]] = []  # (score, doc) min-heap of size k
+    theta = -np.inf
+    alive = [t for t in terms if len(t.ids)]
+    evaluated: list[int] = []
+    while alive:
+        alive.sort(key=lambda t: t.ids[ptrs[t.term]])
+        # find pivot: smallest doc where cumulative UB ≥ θ
+        acc_ub = 0.0
+        pivot_i = -1
+        for i, t in enumerate(alive):
+            acc_ub += t.ub
+            if acc_ub >= theta or len(heap) < k:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = int(alive[pivot_i].ids[ptrs[alive[pivot_i].term]])
+        first_doc = int(alive[0].ids[ptrs[alive[0].term]])
+        if first_doc == pivot_doc:
+            # block-max check: tighter bound from the current blocks
+            blk_ub = 0.0
+            min_block_end = np.iinfo(np.int64).max
+            for t in alive[: pivot_i + 1]:
+                p = ptrs[t.term]
+                if t.ids[p] > pivot_doc:
+                    continue
+                blk = int(np.searchsorted(t.block_last, pivot_doc))
+                blk = min(blk, len(t.block_last) - 1)
+                blk_ub += _block_ub(t, blk, scorer, n_docs, avgdl)
+                min_block_end = min(min_block_end, int(t.block_last[blk]))
+            if blk_ub >= theta or len(heap) < k:
+                evaluated.append(pivot_doc)
+                score = 0.0
+                for t in terms:  # ascending term order — deterministic sum
+                    p = np.searchsorted(t.ids, pivot_doc)
+                    if p < len(t.ids) and t.ids[p] == pivot_doc:
+                        tf = np.array([float(t.tfs[p])])
+                        if scorer == "bm25":
+                            score += float(
+                                _bm25_contrib(tf, dl_arr[np.array([pivot_doc])], t.df,
+                                              n_docs, avgdl, t.qtf)[0])
+                        else:
+                            score += float(_tfidf_contrib(tf, t.cum_tf, t.qtf)[0])
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, pivot_doc))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                else:
+                    if score > heap[0][0]:
+                        heapq.heapreplace(heap, (score, pivot_doc))
+                        theta = heap[0][0]
+                # advance all pointers at pivot_doc
+                for t in alive:
+                    p = ptrs[t.term]
+                    if t.ids[p] == pivot_doc:
+                        ptrs[t.term] = p + 1
+            else:
+                # skip whole blocks: jump past the smallest current block end
+                target = min(min_block_end, pivot_doc) + 1
+                for t in alive[: pivot_i + 1]:
+                    p = ptrs[t.term]
+                    if t.ids[p] < target:
+                        ptrs[t.term] = int(np.searchsorted(t.ids, target))
+        else:
+            # advance the leading lists to the pivot
+            for t in alive[:pivot_i]:
+                p = ptrs[t.term]
+                if t.ids[p] < pivot_doc:
+                    ptrs[t.term] = int(np.searchsorted(t.ids, pivot_doc))
+        alive = [t for t in alive if ptrs[t.term] < len(t.ids)]
+    if not evaluated:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.array(sorted({d for _, d in heap}), dtype=np.int64)
+    scores = _exact_scores(terms, docs, dl_arr, scorer, n_docs, avgdl)
+    return docs, scores
+
+
+def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
+              scorer: str = "bm25", kernel: str = "auto") -> DataFrame:
+    """Top-k via the per-partition packed-postings kernel + global ordered
+    LIMIT. Result is rank- and score-identical to fulltext.top_k."""
+    spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
+    spark = index.packed.sparkSession
+    expanded = expand_clauses(index, spec)
+    if not expanded:
+        return spark.createDataFrame([], "doc long, score double")
+    qinfo = {t: (q, c) for t, q, c in expanded}
+    terms = sorted(qinfo)
+    neg_terms = expand_negatives(index, spec)
+    stats_rows = index.stats.filter(F.col("term").isin(terms + neg_terms)).collect()
+    stats = {r["term"]: (float(r["df"]), float(r["cum_tf"])) for r in stats_rows}
+    n_docs, avgdl = index.corpus.n_docs, index.corpus.avgdl
+    n_clauses = len(spec.positive)
+    required = sorted({c for _, _, c in expanded})
+    op, sc = spec.op, spec.scorer
+    kern = kernel
+    kk = spec.k
+
+    def run_part(post_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or lens_pdf.empty:
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        max_doc = int(lens_pdf["doc_id"].max())
+        dl_arr = np.zeros(max_doc + 1, dtype=np.float64)
+        dl_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["dl"].to_numpy()
+        key_arr = np.zeros(max_doc + 1, dtype=np.int64)
+        key_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["doc_key"].to_numpy()
+        pos_terms = _decode_terms(post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats)
+        if not pos_terms:
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        if op == "and":
+            docs, scores = _kernel_and(pos_terms, required, dl_arr, sc, n_docs, avgdl, kk)
+        elif kern == "taat" or (kern == "auto" and sc != "bm25"):
+            docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
+        elif kern == "wand":
+            docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
+        else:  # auto → block-max WAND for OR/bm25
+            docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
+        # matched-clause filter for AND already applied; negatives:
+        if len(docs) and neg_terms:
+            neg_rows = post_pdf[post_pdf["term"].isin(neg_terms)]
+            if not neg_rows.empty:
+                neg_ids = np.unique(
+                    np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
+                )
+                keep = ~np.isin(docs, neg_ids, assume_unique=False)
+                docs, scores = docs[keep], scores[keep]
+        if not len(docs):
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        # per-partition partial top-k (the reference's per-partition heap)
+        order = np.lexsort((-docs, -np.round(scores, 6)))[:kk]
+        return pd.DataFrame({"doc": key_arr[docs[order]],
+                             "score": np.round(scores[order], 6)})
+
+    posts = index.packed.filter(F.col("term").isin(terms + neg_terms)).select(
+        "part", "term", "ids", "tfs", "block_last", "block_max_tf"
+    )
+    lens = index.lens
+    result = (
+        posts.groupBy("part")
+        .cogroup(lens.groupBy("part"))
+        .applyInPandas(lambda left, right: run_part(left, right), "doc long, score double")
+    )
+    return result.orderBy(F.desc("score"), F.desc("doc")).limit(spec.k)

@@ -133,3 +133,231 @@ WITH dl AS (
 SELECT count(*) AS n_docs, sum(dl) AS total_tokens, round(avg(dl), 6) AS avgdl
 FROM dl
 """
+
+
+# ---------------------------------------------------------------------------
+# Context-operator oracles (events / lineitem) — SURVEY.md §2.5
+# ---------------------------------------------------------------------------
+
+def distinct_values_sql(table: str, field: str) -> str:
+    return f"SELECT DISTINCT {field} AS value FROM {table}"
+
+
+def uniques_sql(table: str, field: str) -> str:
+    return f"SELECT count(DISTINCT {field}) AS n_unique FROM {table}"
+
+
+def distinct_count_sql(table: str, field: str, where: str) -> str:
+    return f"SELECT count(DISTINCT {field}) AS n_distinct FROM {table} WHERE {where}"
+
+
+def aggregate_counts_sql(table: str, group_field: str, ts_col: str) -> str:
+    return f"""
+SELECT {group_field} AS group_value, count(*) AS n,
+       min({ts_col}) AS oldest_ts, max({ts_col}) AS latest_ts
+FROM {table} GROUP BY 1
+"""
+
+
+def waveform_sql(table: str, ts_col: str, group_field: str, bucket: str = "hour") -> str:
+    return f"""
+SELECT {group_field} AS group_value, date_trunc('{bucket}', {ts_col}) AS bucket,
+       count(*) AS n
+FROM {table} GROUP BY 1, 2
+"""
+
+
+def metrics_sql(table: str, ts_col: str, value_col: str, bucket: str = "day") -> str:
+    return f"""
+SELECT date_trunc('{bucket}', {ts_col}) AS bucket, count(*) AS n,
+       round(sum({value_col}), 6) AS sum_v, round(avg({value_col}), 6) AS avg_v,
+       round(min({value_col}), 6) AS min_v, round(max({value_col}), 6) AS max_v
+FROM {table} GROUP BY 1
+"""
+
+
+def anomaly_ratio_sql(table: str, ts_col: str, predicate: str, bucket: str = "day") -> str:
+    return f"""
+SELECT bucket, hits, total, round(hits * 1.0 / total, 6) AS rate FROM (
+  SELECT date_trunc('{bucket}', {ts_col}) AS bucket,
+         sum(CASE WHEN {predicate} THEN 1 ELSE 0 END) AS hits,
+         count(*) AS total
+  FROM {table} GROUP BY 1)
+"""
+
+
+def trending_peaks_sql(table: str, ts_col: str, group_field: str, bucket: str = "hour") -> str:
+    return f"""
+WITH wf AS (
+  SELECT {group_field} AS group_value, date_trunc('{bucket}', {ts_col}) AS bucket,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+flagged AS (
+  SELECT group_value,
+         (n > lag(n) OVER w AND n > lead(n) OVER w) AS is_peak
+  FROM wf WINDOW w AS (PARTITION BY group_value ORDER BY bucket)
+)
+SELECT group_value, sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS n_peaks
+FROM flagged GROUP BY 1
+"""
+
+
+def last_n_sql(table: str, order_cols: list[str], n: int, where: str, select_cols: list[str]) -> str:
+    order = ", ".join(f"{c} DESC" for c in order_cols)
+    return f"SELECT {', '.join(select_cols)} FROM {table} WHERE {where} ORDER BY {order} LIMIT {n}"
+
+
+def collaborative_filter_sql(user_id: int, k: int = 20) -> str:
+    """CF on (o_custkey, l_partkey) via orders ⨝ lineitem — mirrors
+    operators/reco.collaborative_filter step for step."""
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+mine AS (SELECT i FROM pairs WHERE u = {user_id}),
+contributors AS (
+  SELECT u, count(*) AS weight
+  FROM pairs WHERE i IN (SELECT i FROM mine) AND u <> {user_id}
+  GROUP BY u
+),
+scored AS (
+  SELECT p.i AS item, sum(c.weight) AS score
+  FROM pairs p JOIN contributors c ON c.u = p.u
+  WHERE p.i NOT IN (SELECT i FROM mine)
+  GROUP BY p.i
+)
+SELECT item, score FROM scored ORDER BY score DESC, item ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operator oracles (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS content_md5, count(*) AS n_docs,
+       min({id_col}) AS canonical, max({id_col}) AS max_doc
+FROM {table} GROUP BY 1
+"""
+
+
+def _shingle_cte(table: str, id_col: str, text_col: str, n: int) -> str:
+    tok = duckdb_tokens_sql(text_col)
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+toks AS (SELECT {id_col} AS doc, {tok} AS t FROM {table}),
+sh AS (
+  SELECT DISTINCT doc, s FROM (
+    SELECT doc, unnest(list_transform(range(1, len(t) - {n - 2}), i -> {joined})) AS s
+    FROM toks WHERE len(t) >= {n})
+)"""
+
+
+def jaccard_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.8,
+) -> str:
+    return f"""
+WITH {_shingle_cte(table, id_col, text_col, n)},
+sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc = doc_a
+JOIN sz sb ON sb.doc = doc_b
+WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+"""
+
+
+def quality_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = duckdb_tokens_sql(text_col)
+    stop = ", ".join(f"'{s}'" for s in ["the", "a", "of", "to", "in", "and", "is", "for"])
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {text_col} AS txt, {tok} AS toks FROM {table})
+SELECT doc,
+       len(toks) AS n_tokens,
+       length(txt) AS n_chars,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6) AS avg_token_len,
+       round(len(list_filter(toks, x -> x IN ({stop}))) * 1.0 / len(toks), 6) AS stopword_ratio,
+       round(length(regexp_replace(lower(txt), '[^a-z]', '', 'g')) * 1.0 / length(txt), 6) AS alpha_ratio
+FROM t
+"""
+
+
+def token_counts_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = duckdb_tokens_sql(text_col)
+    return f"""
+SELECT {id_col} AS doc,
+       len({tok}) AS n_tokens,
+       len(list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower({text_col}), '[a-z]+')) AS n_alpha_runs,
+       len(regexp_extract_all(lower({text_col}), '[0-9]+')) AS n_digit_runs
+FROM {table}
+"""
+
+
+def fingerprint_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> str:
+    tok = duckdb_tokens_sql(text_col)
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(shingle_n))
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {tok} AS t FROM {table})
+SELECT doc,
+       md5(array_to_string(t, ' ')) AS token_md5,
+       list_min(list_transform(range(1, greatest(len(t) - {shingle_n}, 0) + 2), i -> md5({joined}))) AS min_shingle_md5
+FROM t
+"""
+
+
+def langid_lite_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = duckdb_tokens_sql(text_col)
+    en = ", ".join(f"'{s}'" for s in ["the", "and", "of", "is"])
+    code = ", ".join(f"'{s}'" for s in ["def", "return", "import", "const", "func", "public"])
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {tok} AS toks FROM {table}),
+r AS (
+  SELECT doc,
+         round(len(list_filter(toks, x -> x IN ({en}))) * 1.0 / len(toks), 6) AS en_ratio,
+         round(len(list_filter(toks, x -> x IN ({code}))) * 1.0 / len(toks), 6) AS code_ratio
+  FROM t)
+SELECT doc, en_ratio, code_ratio,
+       CASE WHEN code_ratio >= en_ratio AND code_ratio > 0.01 THEN 'code'
+            WHEN en_ratio > 0.01 THEN 'en'
+            ELSE 'unk' END AS lang_pred
+FROM r
+"""
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    """Index-ordered double-precision cosine — op-for-op the Spark fold."""
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"round(({dot}) / (({na}) * ({nb})), 6)"
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 50, table: str = "embeddings") -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM {table} WHERE vec_id = {query_vec_id})
+SELECT vec_id AS vec, {_cosine_expr('embedding', 'qe')} AS cosine
+FROM {table}, q
+ORDER BY cosine DESC, vec DESC LIMIT {k}
+"""
+
+
+def cosine_pairs_sql(threshold: float, table: str = "embeddings") -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_expr('a.embedding', 'b.embedding')} AS cosine
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= {threshold}
+"""

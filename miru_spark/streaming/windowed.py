@@ -1,0 +1,76 @@
+"""Structured Streaming operators.
+
+The reference has no streaming query engine — its "streaming" is the WAL sip
+loop feeding the indexer (miru-api/.../wal/MiruWALClient.java:20-126,
+MiruSipTracker). Two Spark-native streaming shapes cover that surface:
+
+* ``streaming_waveform`` — the Analytics waveform as a watermarked windowed
+  count over an event stream (late data handled by the watermark; the
+  reference instead remapped late timestamps monotonically,
+  LabTimeIndex.nextId — see SURVEY.md §2.7).
+* ``streaming_index_sip`` — incremental posting-list maintenance: new docs
+  micro-batched through the same flat_postings pass and appended as index
+  segments via foreachBatch (the WAL sip → index path; checkpointLocation
+  is the sip cursor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_waveform(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    group_field: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """readStream → watermarked tumbling-window counts. Caller attaches the
+    sink (memory sink + processAllAvailable in tests)."""
+    events = spark.readStream.format("parquet").schema(schema).load(path)
+    # watermarks need TIMESTAMP (with tz); parquet NTZ timestamps are cast
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_field).alias("group_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "group_value", "n")
+    )
+
+
+def streaming_index_sip(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    index_dir: str,
+    text_col: str = "text",
+    dense_id_col: str = "doc_id",
+    capacity: int = 1 << 20,
+):
+    """Incremental index maintenance: each micro-batch of new docs becomes an
+    appended segment wave (foreachBatch = exactly-once via the streaming
+    checkpoint — the sip cursor)."""
+    from miru_spark.operators import build as B
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_path)
+
+    def _index_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = B.prepare_docs(batch_df, text_col, dense_id_col, None, capacity)
+        flat = B.flat_postings(docs, text_col)
+        packed = B.pack_segments(B.build_segments(flat))
+        packed.write.mode("overwrite").parquet(f"{index_dir}/segments/epoch={epoch_id}")
+        B.doc_meta(docs, flat).write.mode("overwrite").parquet(
+            f"{index_dir}/doclens/epoch={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_index_batch)
+        .option("checkpointLocation", f"{index_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+    )

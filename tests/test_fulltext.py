@@ -103,3 +103,18 @@ def test_content_sha_invariant(doc_index, duck):
         "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id"
     ).df()
     assert list(got["content_sha"]) == list(want["sha"])
+
+
+def test_arrow_tokenizer_matches_catalyst(doc_index):
+    # the Arrow flat-postings pass must equal split+explode+groupBy exactly
+    from pyspark.sql import functions as F
+    from miru_spark.tokenize import tokens_col
+
+    catalyst = (
+        doc_index.docs.select("part", "doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("part", "term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    a = doc_index.flat.orderBy("part", "term", "doc_id").toPandas()
+    b = catalyst.orderBy("part", "term", "doc_id").toPandas()
+    assert a.equals(b)

@@ -1,0 +1,99 @@
+"""Multimodal binary-column plumbing + Structured Streaming operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from miru_spark.operators import multimodal as mm
+
+
+def test_decode_images_plumbing(spark, documents):
+    bin_tbl = mm.synthesize_binary_table(documents.limit(50), "doc_id", "text")
+    assert dict(bin_tbl.dtypes)["payload"] == "binary"
+    out = mm.decode_images(bin_tbl, "item", "payload").toPandas()
+    assert len(out) == 50
+    assert set(out.columns) == {"item", "n_bytes", "width", "height", "features"}
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic across partitionings
+    out2 = mm.decode_images(bin_tbl.repartition(7), "item", "payload").toPandas()
+    a = out.sort_values("item").reset_index(drop=True)
+    b = out2.sort_values("item").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_resize_and_frames(spark, documents):
+    bin_tbl = mm.synthesize_binary_table(documents.limit(20), "doc_id", "text")
+    rs = mm.resize_images(bin_tbl, "item", "payload", target=224).toPandas()
+    assert (rs["width"] == 224).all() and len(rs) == 20
+    fr = mm.sample_frames(bin_tbl, "item", "payload", every_n=10, max_frames=4).toPandas()
+    assert fr.groupby("item").size().max() <= 4
+    assert (fr["frame"] % 10 == 0).all()
+
+
+def test_streaming_waveform(spark, sf_dir, tmp_path):
+    import shutil
+
+    from miru_spark.streaming.windowed import streaming_waveform
+
+    # FileStreamSource wants a directory of files
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = streaming_waveform(
+        spark, str(stream_dir), static.schema, window="1 day", watermark="2 days"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wf_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT group_value, sum(n) AS n FROM wf_out GROUP BY 1").toPandas()
+    want = (
+        static.groupBy(F.col("event_type").alias("group_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    m = got.merge(want, on="group_value", suffixes=("_s", "_b"))
+    assert len(m) == len(want) and (m["n_s"] == m["n_b"]).all()
+
+
+def test_streaming_index_sip(spark, sf_dir, tmp_path):
+    from miru_spark.streaming.windowed import streaming_index_sip
+
+    import shutil
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", stream_dir / "part-0.parquet")
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index_dir = str(tmp_path / "sip_index")
+    writer = streaming_index_sip(
+        spark, str(stream_dir), static.schema, index_dir,
+        text_col="text", dense_id_col="doc_id", capacity=128,
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    packed = spark.read.parquet(f"{index_dir}/segments/epoch=*")
+    assert packed.count() > 0
+    # postings must equal the batch build's
+    from miru_spark.operators import build as B
+
+    batch = B.pack_segments(
+        B.build_segments(
+            B.flat_postings(
+                B.prepare_docs(static, "text", "doc_id", None, 128), "text"
+            )
+        )
+    )
+    a = packed.selectExpr("sum(df_part)", "sum(cum_tf_part)", "count(*)").collect()[0]
+    b = batch.selectExpr("sum(df_part)", "sum(cum_tf_part)", "count(*)").collect()[0]
+    assert tuple(a) == tuple(b)

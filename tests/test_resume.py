@@ -1,0 +1,94 @@
+"""Kill-resume test (FIXTURES.md §6): a build killed after a wave commit
+resumes by skipping completed waves, and its final postings are byte-identical
+to an uninterrupted build — the FullTextGatherer sip-cursor pattern."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from miru_spark.index_store import build_persistent, load_index
+from miru_spark.operators import fulltext
+
+
+def _collect_postings(spark, index_dir):
+    df = spark.read.parquet(f"{index_dir}/postings")
+    rows = df.select("part", "term", "df_part", "cum_tf_part", "ids", "tfs").collect()
+    return sorted(
+        (r["part"], r["term"], r["df_part"], r["cum_tf_part"], bytes(r["ids"]), bytes(r["tfs"]))
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def built_dirs(spark, documents, tmp_path_factory):
+    base = tmp_path_factory.mktemp("index")
+    clean_dir = str(base / "clean")
+    resumed_dir = str(base / "resumed")
+    kw = dict(
+        text_col="text", dense_id_col="doc_id", capacity=128,
+        hot_df_threshold=64, salt_buckets=4, wave_size=2, merge_partitions=4,
+    )
+    # uninterrupted build
+    rep = build_persistent(documents, clean_dir, **kw)
+    assert rep.waves_run == rep.n_waves and rep.waves_skipped == 0
+    # killed build: crash after wave 0 commit
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_persistent(documents, resumed_dir, fail_after_wave=0, **kw)
+    return clean_dir, resumed_dir, kw
+
+
+def test_resume_skips_completed_waves(spark, documents, built_dirs):
+    clean_dir, resumed_dir, kw = built_dirs
+    with open(os.path.join(resumed_dir, "manifest.json")) as f:
+        m = json.load(f)
+    assert "0" in m["waves"] and not m["stages"]["ready"]
+    wave0_before = m["waves"]["0"]
+    # record wave-0 file mtimes to prove no recompute
+    wave0_files = {
+        f: os.path.getmtime(os.path.join(resumed_dir, "segments/wave=0", f))
+        for f in os.listdir(os.path.join(resumed_dir, "segments/wave=0"))
+        if f.endswith(".parquet")
+    }
+    rep = build_persistent(documents, resumed_dir, **kw)
+    assert rep.waves_skipped == 1
+    assert rep.waves_run == rep.n_waves - 1
+    with open(os.path.join(resumed_dir, "manifest.json")) as f:
+        m2 = json.load(f)
+    assert m2["stages"]["ready"]
+    assert m2["waves"]["0"] == wave0_before  # counters untouched
+    for f_name, mtime in wave0_files.items():
+        assert os.path.getmtime(os.path.join(resumed_dir, "segments/wave=0", f_name)) == mtime
+
+
+def test_resumed_postings_identical(spark, built_dirs):
+    clean_dir, resumed_dir, kw = built_dirs
+    # resume must already have completed in the previous test; make idempotent
+    assert _collect_postings(spark, resumed_dir) == _collect_postings(spark, clean_dir)
+
+
+def test_rerun_is_noop(spark, documents, built_dirs):
+    clean_dir, _, kw = built_dirs
+    rep = build_persistent(documents, clean_dir, **kw)
+    assert rep.waves_run == 0 and rep.waves_skipped == rep.n_waves
+
+
+def test_loaded_index_answers_queries(spark, documents, doc_index, built_dirs):
+    clean_dir, _, _ = built_dirs
+    idx = load_index(spark, clean_dir, documents)
+    got = fulltext.top_k(idx, "spark AND join", k=20).toPandas()
+    want = fulltext.top_k(doc_index, "spark AND join", k=20).toPandas()
+    assert list(got["doc"]) == list(want["doc"])
+    assert list(got["score"]) == list(want["score"])
+
+
+def test_manifest_lineage_counters(documents, built_dirs):
+    clean_dir, _, _ = built_dirs
+    with open(os.path.join(clean_dir, "manifest.json")) as f:
+        m = json.load(f)
+    total_docs = sum(
+        c["n_docs"] for w in m["waves"].values() for c in w["counters"].values()
+    )
+    assert total_docs == documents.count()

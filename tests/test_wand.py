@@ -1,0 +1,43 @@
+"""WAND / TAAT / AND kernels over packed postings must be rank- AND
+score-identical to the DataFrame query path (itself oracle-verified)."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.filters import parse_query
+from miru_spark.operators import fulltext, wand
+
+CASES = [
+    ("spark", "bm25", "auto"),
+    ("dup", "bm25", "auto"),
+    ("spark AND join", "bm25", "auto"),
+    ("spark join merge", "bm25", "auto"),
+    ("spark OR vector OR dup", "bm25", "wand"),
+    ("spark OR vector OR dup", "bm25", "taat"),
+    ("merge NOT window", "bm25", "auto"),
+    ("s*", "bm25", "wand"),
+    ("s*", "bm25", "taat"),
+    ("dup AND s*", "bm25", "auto"),
+    ("spark OR join", "miru_tfidf", "auto"),
+]
+
+
+@pytest.mark.parametrize("q,scorer,kernel", CASES)
+def test_wand_matches_dataframe_path(doc_index, q, scorer, kernel):
+    spec = parse_query(q, k=50, scorer=scorer)
+    want = fulltext.top_k(doc_index, spec).toPandas()
+    got = wand.wand_topk(doc_index, spec, kernel=kernel).toPandas()
+    assert list(got["doc"]) == list(want["doc"]), f"{q} ({kernel}) ids diverge"
+    assert list(got["score"]) == list(want["score"]), f"{q} ({kernel}) scores diverge"
+
+
+def test_wand_unknown_term_empty(doc_index):
+    assert wand.wand_topk(doc_index, "zzzznotaterm", k=10).count() == 0
+
+
+def test_wand_prunes(doc_index):
+    # sanity: the WAND kernel returns exactly k when more docs match
+    spec = parse_query("spark OR merge", k=7)
+    got = wand.wand_topk(doc_index, spec, kernel="wand").toPandas()
+    assert len(got) == 7
