@@ -51,11 +51,20 @@ def build_persistent(
     wave_size: int = 8,
     merge_partitions: int | None = None,
     fail_after_wave: int | None = None,
+    spread: int | None = None,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
-    crash after that wave's commit (kill-resume tests only)."""
+    crash after that wave's commit (kill-resume tests only). ``spread`` as in
+    build_index (tokenize-stage parallelism; 0 keeps the source layout)."""
     spark = docs_source.sparkSession
-    docs = B.prepare_docs(docs_source, text_col, dense_id_col, natural_key, capacity).cache()
+    n_parts = None
+    if natural_key is not None:
+        n_parts = max(1, -(-docs_source.count() // capacity))
+    if spread is None:
+        spread = spark.sparkContext.defaultParallelism * 3
+    docs = B.prepare_docs(
+        docs_source, text_col, dense_id_col, natural_key, capacity, n_parts
+    ).cache()
     n_docs = docs.count()
     fingerprint = {
         "n_docs": n_docs,
@@ -76,10 +85,11 @@ def build_persistent(
             continue
         wave_parts = parts[wave_id * wave_size : (wave_id + 1) * wave_size]
         wave_docs = docs.filter(F.col("part").isin(wave_parts))
-        flat = B.flat_postings(wave_docs, text_col)
-        hot = B.detect_hot_terms(flat, hot_df_threshold) if hot_df_threshold else []
-        segments = B.build_segments(flat, hot, salt_buckets)
-        packed = B.pack_segments(segments)
+        # spread the tokenize stage (see build_index) — numbered repartition
+        # keeps the Arrow pass at full width regardless of wave part count
+        tokenize_src = wave_docs.repartition(spread) if spread else wave_docs
+        flat = B.flat_postings(tokenize_src, text_col)
+        packed = B.packed_from_flat(flat)
         (
             packed.repartition("part")
             .sortWithinPartitions("term")

@@ -48,6 +48,13 @@ def get_spark(
             shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
         else:
             shuffle_partitions = 200
+    # local-mode shuffles through /tmp disk flatten CPU scaling (measured
+    # 2.2× at local[32] just from moving spill/shuffle to tmpfs); a real
+    # cluster gets this from NVMe-backed local dirs + netty shuffle.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -61,6 +68,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
