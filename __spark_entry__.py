@@ -127,7 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("doc_key").alias("doc"), F.col("content_sha").alias("sha")
     )
 
+    q["index_first_latest"] = lambda s, d: fulltext.index_first_latest(_index(s, d))
+    q["gather_terms_spark"] = lambda s, d: fulltext.gather_terms(_index(s, d), "spark")
+
     # context operators (SURVEY.md §2.5) over events / lineitem
+    q["time_range_mask"] = lambda s, d: analytics.time_range_mask(
+        _events(s, d), "ts", "2024-01-05 00:00:00", "2024-01-10 00:00:00", "event_type"
+    )
     q["distincts_event_types"] = lambda s, d: analytics.distinct_values(
         _events(s, d), "event_type"
     )
@@ -204,6 +210,32 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_stats"] = oracles.doc_stats_sql()
     o["content_sha"] = "SELECT doc_id AS doc, sha256(text) AS sha FROM documents"
 
+    o["index_first_latest"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+SELECT term, min(doc_id) AS first_doc, max(doc_id) AS latest_doc, count(*) AS df
+FROM tf GROUP BY term
+"""
+    o["gather_terms_spark"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT term, count(*) AS n_docs
+FROM tf WHERE doc_id IN (SELECT doc_id FROM matched)
+GROUP BY term
+"""
+    o["time_range_mask"] = """
+SELECT event_type AS group_value, count(*) AS n
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY 1
+"""
     o["distincts_event_types"] = oracles.distinct_values_sql("events", "event_type")
     o["uniques_users"] = oracles.uniques_sql("events", "user_id")
     o["distinct_count_error_users"] = oracles.distinct_count_sql(

@@ -124,3 +124,17 @@ def last_n(
     out = df.filter(predicate) if predicate is not None else df
     out = out.orderBy(*[F.desc(c) for c in order_cols]).limit(n)
     return out.select(*select_cols) if select_cols else out
+
+
+def time_range_mask(
+    df: DataFrame, ts_col: str, lo: str, hi: str, group_field: str
+) -> DataFrame:
+    """Time-range mask: rows in [lo, hi] counted per group — the reference's
+    range bitmap (MiruBitmapsRoaring createWithRange + time-index bounds,
+    miru-plugin/.../index/MiruTimeIndex.java:27-51) as a pushed-down
+    between-predicate."""
+    return (
+        df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
+        .groupBy(F.col(group_field).alias("group_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

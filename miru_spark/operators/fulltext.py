@@ -161,3 +161,32 @@ def gather(index: IndexHandle, winners: DataFrame, gather_cols: list[str]) -> Da
     return winners.join(index.docs, winners["doc"] == index.docs["doc_key"], "left").select(
         "doc", "score", *gather_cols
     )
+
+
+def index_first_latest(index: IndexHandle) -> DataFrame:
+    """Auxiliary latest/first occurrence per term — the reference's
+    indexLatest / indexFirst bitmaps (miru-service/.../stream/
+    MiruIndexLatest.java; setIfEmpty MiruIndexPrimaryFields.java:123-129)
+    as min/max aggregates over the posting relation."""
+    return (
+        index.flat.join(index.lens, ["part", "doc_id"])
+        .groupBy("term")
+        .agg(
+            F.min("doc_key").alias("first_doc"),
+            F.max("doc_key").alias("latest_doc"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+
+
+def gather_terms(index: IndexHandle, match_term: str) -> DataFrame:
+    """Gather: distinct co-occurring terms (with doc counts) over the doc set
+    matching ``match_term`` — MiruAggregateUtil.gatherActivityLookup
+    (miru-plugin/.../solution/MiruAggregateUtil.java:681-768) as a semi-join
+    + groupBy instead of batched bitmap AND-NOT walks."""
+    matched = index.flat.filter(F.col("term") == match_term).select("part", "doc_id")
+    return (
+        index.flat.join(matched, ["part", "doc_id"], "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
