@@ -52,6 +52,7 @@ def build_persistent(
     merge_partitions: int | None = None,
     fail_after_wave: int | None = None,
     spread: int | None = None,
+    aux_fields: list[str] | None = None,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
     crash after that wave's commit (kill-resume tests only). ``spread`` as in
@@ -65,13 +66,23 @@ def build_persistent(
     docs = B.prepare_docs(
         docs_source, text_col, dense_id_col, natural_key, capacity, n_parts
     ).cache()
-    n_docs = docs.count()
+    # content digest in the fingerprint: an order-insensitive sum of per-row
+    # sha CRCs, so a same-row-count build over CHANGED content restarts from
+    # scratch instead of silently skipping completed waves and serving a
+    # stale index. One extra agg over the already-cached docs.
+    frow = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("content_sha"))).alias("sha_sum"),
+    ).collect()[0]
+    n_docs = int(frow["n"])
     fingerprint = {
         "n_docs": n_docs,
+        "content_digest": int(frow["sha_sum"] or 0),
         "capacity": capacity,
         "text_col": text_col,
         "id": dense_id_col or ",".join(natural_key or []),
         "salt_buckets": salt_buckets,
+        "aux": ",".join(aux_fields or []),
     }
     manifest = Manifest.load_or_create(index_dir, fingerprint)
 
@@ -137,6 +148,15 @@ def build_persistent(
             all_segments.select("term", "df_part", "cum_tf_part")
         )
         stats.coalesce(4).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        if aux_fields:
+            # single-term field postings, term-sorted for scan pruning
+            (
+                B.aux_postings(docs, aux_fields)
+                .repartitionByRange(max(2, n_merge // 4), "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/aux")
+            )
         all_lens = spark.read.parquet(f"{index_dir}/doclens/wave=*")
         row = all_lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         manifest.commit_stage("segments")
@@ -165,6 +185,9 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
     info = manifest.get("stage_info", {}).get("ready", {})
     packed = spark.read.parquet(f"{index_dir}/postings")
     lens = spark.read.parquet(f"{index_dir}/doclens/wave=*")
+    aux = None
+    if os.path.isdir(os.path.join(index_dir, "aux")):
+        aux = spark.read.parquet(f"{index_dir}/aux")
     return B.IndexHandle(
         docs=docs,
         flat=B.unpack_postings(packed),
@@ -174,4 +197,6 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         lens=lens.select("part", "doc_id", "doc_key", "dl"),
         corpus=B.CorpusStats(n_docs=int(info["n_docs"]), avgdl=float(info["avgdl"])),
         hot_terms=[],
+        lazy=True,
+        aux=aux,
     )

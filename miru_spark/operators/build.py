@@ -92,8 +92,13 @@ def prepare_docs(
         out = out.withColumn("part", F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int"))
         w = Window.partitionBy("part").orderBy(*[F.col(c) for c in natural_key])
         out = out.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+        # doc_key = part << 32 | doc_id: collision-free regardless of hash
+        # skew (a part whose row_number overruns `capacity` would collide
+        # with the next part under part*capacity+doc_id — silent doc-identity
+        # corruption in gather/tie-break/dedup). 32-bit shift is safe: doc_id
+        # is int, part < 2^31.
         out = out.withColumn(
-            "doc_key", F.col("part").cast("long") * capacity + F.col("doc_id")
+            "doc_key", F.shiftleft(F.col("part").cast("long"), 32) + F.col("doc_id")
         )
     return out
 
@@ -501,6 +506,39 @@ class IndexHandle:
     lens: DataFrame          # (part, doc_id, doc_key, dl)
     corpus: CorpusStats
     hot_terms: list[str]
+    # loaded-from-disk index: ``flat`` is unpack_postings(packed), a Python
+    # map Catalyst can NOT push term predicates through — query paths must
+    # filter ``packed`` (parquet, term-sorted files → row-group pruning)
+    # BEFORE unpacking. See fulltext.postings_for_terms.
+    lazy: bool = False
+    # auxiliary single-term field postings (part, term, doc_id) with
+    # composite terms "field:value" — Miru's per-field indexes / composed
+    # terms (MiruTermComposer.compose, m-plugin/index/MiruTermComposer.java:
+    # 35-83). Kept separate from the scored content postings so BM25 stats
+    # (df/cum_tf/dl) see only real tokens.
+    aux: DataFrame | None = None
+
+
+def aux_postings(docs: DataFrame, aux_fields: list[str]) -> DataFrame:
+    """(part, doc_id, term) single-term field postings with composite terms
+    ``field:value`` — the reference's per-field primary indexes with composed
+    term bytes (MiruTermComposer.compose prefix encoding, m-plugin/index/
+    MiruTermComposer.java:35-83; singleTerm field type,
+    m-api/activity/schema/MiruFieldDefinition.java:59-113). The ':' separator
+    cannot occur in a content token ([a-z0-9_']+), so the namespaces never
+    collide. No tokenization, no tf — one row per (doc, field)."""
+    parts = [
+        docs.select(
+            "part",
+            "doc_id",
+            F.concat(F.lit(f + ":"), F.lower(F.col(f).cast("string"))).alias("term"),
+        )
+        for f in aux_fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def build_index(
@@ -514,6 +552,7 @@ def build_index(
     cache: bool = True,
     spread: int | None = None,
     strategy: str = "sort",
+    aux_fields: list[str] | None = None,
 ) -> IndexHandle:
     """``strategy``: 'sort' (default — shuffle-sort streaming pack) or
     'hash_agg' (collect_list + explicit hot-term salting; byte-identical
@@ -574,4 +613,5 @@ def build_index(
         lens=meta.select("part", "doc_id", "doc_key", "dl"),
         corpus=CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"])),
         hot_terms=hot,
+        aux=aux_postings(docs, aux_fields) if aux_fields else None,
     )

@@ -44,14 +44,21 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc, shingle) — distinct token n-grams, Catalyst-only."""
+    """(doc, shingle) — distinct token n-grams, Catalyst-only.
+
+    Docs with fewer than n tokens produce no shingles (pre-filtered: without
+    the guard F.sequence(0, size-n) generates a descending sequence and
+    slice() throws at runtime). Matches the oracle's WHERE len(t) >= n.
+    """
     t = tokens_col(text_col)
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        F.sequence(F.lit(0), F.size(F.col("__t")) - n),
+        lambda i: F.array_join(F.slice(F.col("__t"), i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col).alias("doc"), t.alias("__t"))
+        .filter(F.size(F.col("__t")) >= n)
+        .select("doc", F.explode(sh).alias("shingle"))
         .distinct()
     )
 

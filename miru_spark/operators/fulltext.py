@@ -36,6 +36,23 @@ K1 = 1.2
 B = 0.75
 
 
+def postings_for_terms(index: IndexHandle, terms: list[str]) -> DataFrame:
+    """(part, term, doc_id, tf) for exactly the given terms, with the term
+    predicate reaching the parquet scan.
+
+    On an in-memory build ``flat`` is a cached relation — filtering it is
+    cheap. On a LOADED index ``flat`` is unpack_postings(packed), a Python
+    mapInArrow that Catalyst cannot push `term IN (...)` through — filtering
+    it decodes EVERY posting list. There we filter ``packed`` first (that
+    scan IS parquet, term-sorted within files for row-group pruning —
+    index_store layout) and unpack only the surviving rows."""
+    from miru_spark.operators.build import unpack_postings
+
+    if index.lazy:
+        return unpack_postings(index.packed.filter(F.col("term").isin(terms)))
+    return index.flat.filter(F.col("term").isin(terms))
+
+
 def expand_clauses(index: IndexHandle, spec: QuerySpec) -> list[tuple[str, int, int]]:
     """Resolve prefix clauses against the term dictionary.
 
@@ -107,7 +124,7 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     terms = sorted({t for t, _, _ in expanded})
 
     cand = (
-        index.flat.filter(F.col("term").isin(terms))  # pushed to the scan
+        postings_for_terms(index, terms)  # term predicate reaches the scan
         .join(F.broadcast(q), "term")
         .join(F.broadcast(index.stats.filter(F.col("term").isin(terms))), "term")
         .join(index.lens, ["part", "doc_id"])
@@ -127,9 +144,7 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         scored = scored.filter(F.col("matched") == len(spec.positive))
     neg_terms = expand_negatives(index, spec)
     if neg_terms:
-        neg_docs = index.flat.filter(F.col("term").isin(neg_terms)).select(
-            "part", "doc_id"
-        )
+        neg_docs = postings_for_terms(index, neg_terms).select("part", "doc_id")
         scored = scored.join(neg_docs, ["part", "doc_id"], "left_anti")
     return scored
 
@@ -184,7 +199,7 @@ def gather_terms(index: IndexHandle, match_term: str) -> DataFrame:
     matching ``match_term`` — MiruAggregateUtil.gatherActivityLookup
     (miru-plugin/.../solution/MiruAggregateUtil.java:681-768) as a semi-join
     + groupBy instead of batched bitmap AND-NOT walks."""
-    matched = index.flat.filter(F.col("term") == match_term).select("part", "doc_id")
+    matched = postings_for_terms(index, [match_term]).select("part", "doc_id")
     return (
         index.flat.join(matched, ["part", "doc_id"], "left_semi")
         .groupBy("term")

@@ -26,9 +26,16 @@ def collaborative_filter(
     item_col: str,
     user_id,
     k: int = 20,
+    max_contributors: int = 100,
 ) -> DataFrame:
     """Top-k item recommendations for ``user_id`` from a (user, item)
-    activity relation. Deterministic: score desc, then item asc."""
+    activity relation. Deterministic: score desc, then item asc.
+
+    ``max_contributors`` is the reference's contributor heap cut
+    (CollaborativeFiltering.java:58-213 keeps only the top contributors by
+    shared-parent weight). It also bounds the broadcast below: without the
+    cut, one hot item shared with the seed user could pull in millions of
+    contributor rows. Tie-break weight desc, user asc (total order)."""
     pairs = activity.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
@@ -38,6 +45,8 @@ def collaborative_filter(
         .filter(F.col("u") != user_id)
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("u"))
+        .limit(max_contributors)
     )
     scored = (
         pairs.join(F.broadcast(contributors), "u")

@@ -65,7 +65,15 @@ class _TermCtx:
         self.ub = 0.0
 
 
-def _decode_terms(pdf: pd.DataFrame, qinfo: dict, stats: dict) -> list[_TermCtx]:
+def _decode_terms(
+    pdf: pd.DataFrame, qinfo: dict, stats: dict, neg_ids: np.ndarray | None = None
+) -> list[_TermCtx]:
+    """Decode the query terms' postings; docs in ``neg_ids`` are removed from
+    every positive list BEFORE any kernel runs (pButNotQ). This is the only
+    correct place for negation with a top-k heap: filtering after truncation
+    lets negated docs fill the heap and raise θ, pruning legitimate docs.
+    Block metadata stays as packed — block_max bounds remain valid upper
+    bounds for the surviving ids (pruning only gets less tight)."""
     out = []
     for row in pdf.itertuples(index=False):
         if row.term not in qinfo:
@@ -74,6 +82,11 @@ def _decode_terms(pdf: pd.DataFrame, qinfo: dict, stats: dict) -> list[_TermCtx]
         df_g, cum_g = stats[row.term]
         ids = codec.delta_unpack(bytes(row.ids))
         tfs = codec.tf_unpack(bytes(row.tfs))
+        if neg_ids is not None and len(neg_ids):
+            keep = ~np.isin(ids, neg_ids, assume_unique=True)
+            ids, tfs = ids[keep], tfs[keep]
+        if not len(ids):
+            continue
         out.append(
             _TermCtx(row.term, qtf, clause, df_g, cum_g, ids, tfs,
                      np.asarray(row.block_last, dtype=np.int64),
@@ -247,6 +260,13 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     """Top-k via the per-partition packed-postings kernel + global ordered
     LIMIT. Result is rank- and score-identical to fulltext.top_k."""
     spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
+    if spec.scorer == "time":
+        # TIME strategy is an ordered LIMIT, not a scored kernel — delegate to
+        # the shared lens path (FullText.collectTime, FullText.java:222-251)
+        # rather than silently running the tfidf TAAT kernel.
+        from miru_spark.operators import fulltext as _ft
+
+        return _ft.top_k(index, spec)
     spark = index.packed.sparkSession
     expanded = expand_clauses(index, spec)
     if not expanded:
@@ -272,7 +292,17 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
         dl_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["dl"].to_numpy()
         key_arr = np.zeros(max_doc + 1, dtype=np.int64)
         key_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["doc_key"].to_numpy()
-        pos_terms = _decode_terms(post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats)
+        # decode negated docs FIRST so they never enter any kernel's heap
+        neg_ids = None
+        if neg_terms:
+            neg_rows = post_pdf[post_pdf["term"].isin(neg_terms)]
+            if not neg_rows.empty:
+                neg_ids = np.unique(
+                    np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
+                )
+        pos_terms = _decode_terms(
+            post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats, neg_ids
+        )
         if not pos_terms:
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -280,19 +310,8 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
             docs, scores = _kernel_and(pos_terms, required, dl_arr, sc, n_docs, avgdl, kk)
         elif kern == "taat" or (kern == "auto" and sc != "bm25"):
             docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
-        elif kern == "wand":
+        else:  # 'wand' or auto → block-max WAND for OR/bm25
             docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
-        else:  # auto → block-max WAND for OR/bm25
-            docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
-        # matched-clause filter for AND already applied; negatives:
-        if len(docs) and neg_terms:
-            neg_rows = post_pdf[post_pdf["term"].isin(neg_terms)]
-            if not neg_rows.empty:
-                neg_ids = np.unique(
-                    np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
-                )
-                keep = ~np.isin(docs, neg_ids, assume_unique=False)
-                docs, scores = docs[keep], scores[keep]
         if not len(docs):
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})

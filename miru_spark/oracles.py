@@ -117,7 +117,7 @@ WITH toks AS (
   SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS cum_tf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cum_tf
 FROM tf GROUP BY term
 ORDER BY df DESC, term LIMIT {limit}
 """
@@ -130,7 +130,7 @@ def doc_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: st
 WITH dl AS (
   SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
 )
-SELECT count(*) AS n_docs, sum(dl) AS total_tokens, round(avg(dl), 6) AS avgdl
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, round(avg(dl), 6) AS avgdl
 FROM dl
 """
 
@@ -180,7 +180,7 @@ def anomaly_ratio_sql(table: str, ts_col: str, predicate: str, bucket: str = "da
     return f"""
 SELECT bucket, hits, total, round(hits * 1.0 / total, 6) AS rate FROM (
   SELECT date_trunc('{bucket}', {ts_col}) AS bucket,
-         sum(CASE WHEN {predicate} THEN 1 ELSE 0 END) AS hits,
+         CAST(sum(CASE WHEN {predicate} THEN 1 ELSE 0 END) AS BIGINT) AS hits,
          count(*) AS total
   FROM {table} GROUP BY 1)
 """
@@ -198,7 +198,7 @@ flagged AS (
          (n > lag(n) OVER w AND n > lead(n) OVER w) AS is_peak
   FROM wf WINDOW w AS (PARTITION BY group_value ORDER BY bucket)
 )
-SELECT group_value, sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS n_peaks
+SELECT group_value, CAST(sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
 FROM flagged GROUP BY 1
 """
 
@@ -208,9 +208,12 @@ def last_n_sql(table: str, order_cols: list[str], n: int, where: str, select_col
     return f"SELECT {', '.join(select_cols)} FROM {table} WHERE {where} ORDER BY {order} LIMIT {n}"
 
 
-def collaborative_filter_sql(user_id: int, k: int = 20) -> str:
+def collaborative_filter_sql(user_id: int, k: int = 20, max_contributors: int = 100) -> str:
     """CF on (o_custkey, l_partkey) via orders ⨝ lineitem — mirrors
-    operators/reco.collaborative_filter step for step."""
+    operators/reco.collaborative_filter step for step, including the
+    top-N contributor cut (the reference's contributor heap,
+    CollaborativeFiltering.java:58-213; deterministic tie-break weight
+    desc, user asc)."""
     return f"""
 WITH pairs AS (
   SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
@@ -221,9 +224,10 @@ contributors AS (
   SELECT u, count(*) AS weight
   FROM pairs WHERE i IN (SELECT i FROM mine) AND u <> {user_id}
   GROUP BY u
+  ORDER BY weight DESC, u ASC LIMIT {max_contributors}
 ),
 scored AS (
-  SELECT p.i AS item, sum(c.weight) AS score
+  SELECT p.i AS item, CAST(sum(c.weight) AS BIGINT) AS score
   FROM pairs p JOIN contributors c ON c.u = p.u
   WHERE p.i NOT IN (SELECT i FROM mine)
   GROUP BY p.i

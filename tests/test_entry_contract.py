@@ -62,6 +62,14 @@ def test_query_matches_oracle(spark, duck_sf, name):
     assert list(got.columns) == list(want.columns), f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     for c in got.columns:
+        # the driver's value hash is dtype-sensitive: DuckDB sum(BIGINT) →
+        # HUGEINT surfaces as float64/object here while Spark emits int64 —
+        # rows/values can compare equal yet the driver hash diverges. Pin it.
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}: column {c} dtype kind {got[c].dtype} vs {want[c].dtype} "
+            "(oracle needs an explicit CAST)"
+        )
+    for c in got.columns:
         if pd.api.types.is_float_dtype(got[c]):
             ok = (got[c].values == want[c].values) | (
                 pd.isna(got[c].values) & pd.isna(want[c].values)
