@@ -24,8 +24,9 @@ if _REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from miru_spark.filters import parse_query
+from miru_spark.filters import Leaf, parse_query
 from miru_spark.operators import analytics, dedup, fulltext, reco, similarity, textstats
+from miru_spark.operators import wand as wand_ops
 from miru_spark.operators.build import build_index
 from miru_spark import oracles
 
@@ -66,6 +67,7 @@ def _index(spark: SparkSession, sf_dir: str):
             capacity=128,
             hot_df_threshold=64,
             salt_buckets=4,
+            aux_fields=["lang", "source"],
         )
     return _INDEX_CACHE[key]
 
@@ -101,6 +103,27 @@ _FULLTEXT = {
     "fulltext_tfidf_or": ("spark OR join", "miru_tfidf"),
 }
 
+# nested / field-scoped / masked query set (round 2): every spec carries a
+# filter TREE, a named-field mask, a timeRange, a constraintsFilter, or the
+# TIME strategy — the FullTextQuery surface the reference exposes
+# (FullTextQuery.java:13-52, MiruFieldFilter.java:14-27).
+_FULLTEXT_SPECS = {
+    # parens + pButNotQ wrap (LuceneBackedQueryParser.java:111-144)
+    "fulltext_nested_bool": dict(q="spark AND (join OR merge) NOT window"),
+    # mixed AND/OR now parses with explicit precedence instead of all-OR
+    "fulltext_bool_precedence": dict(q="dup AND spark OR vector"),
+    # named-field mask AND scored content term (MiruFieldFilter)
+    "fulltext_field_lang": dict(q="lang:fr AND spark"),
+    # nested OR across a field mask and a scored term (score-0 candidates)
+    "fulltext_field_or": dict(q="dup OR source:src3"),
+    # FullTextQuery.timeRange — inclusive doc_key range
+    "fulltext_bm25_timerange": dict(q="spark OR join", time_range=(100, 400)),
+    # FullTextQuery.constraintsFilter — extra ANDed field mask
+    "fulltext_constraints": dict(q="spark", constraints=[Leaf("src7", "source")]),
+    # TIME strategy over the answer set (FullText.collectTime)
+    "fulltext_time_topk": dict(q="spark AND join", scorer="time", k=50),
+}
+
 
 def _ft_query(q: str, scorer: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,10 +132,40 @@ def _ft_query(q: str, scorer: str):
     return run
 
 
+def _ft_spec_query(q: str, scorer: str = "bm25", k: int = 100, time_range=None, constraints=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spec = parse_query(q, k=k, scorer=scorer, time_range=time_range, constraints=constraints)
+        return fulltext.top_k(_index(spark, sf_dir), spec)
+
+    return run
+
+
+def _ft_wand_query(q: str, scorer: str = "bm25", k: int = 100):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return wand_ops.wand_topk(_index(spark, sf_dir), q, k=k, scorer=scorer)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qs, scorer) in _FULLTEXT.items():
         q[name] = _ft_query(qs, scorer)
+    for name, kw in _FULLTEXT_SPECS.items():
+        q[name] = _ft_spec_query(**kw)
+    # the same queries through the block-max WAND kernel path — gates the
+    # packed-postings engine (incl. OR+NOT pre-admission negation) against
+    # the same oracles as the DataFrame path
+    q["fulltext_bm25_or_wand"] = _ft_wand_query("spark OR vector OR dup")
+    # "(a OR b) NOT c" flattens to the OR+negatives spec — the WAND kernel
+    # path with pre-admission negation (bare "a OR b NOT c" would nest as
+    # a OR (b NOT c) under the precedence grammar)
+    q["fulltext_bm25_ornot_wand"] = _ft_wand_query("(merge OR join) NOT window")
+    q["fulltext_bm25_and3_wand"] = _ft_wand_query("spark join merge")
+    # aux field dictionary scan (Distincts.java:96-99 over a named field)
+    q["distincts_field_lang"] = lambda s, d: (
+        _index(s, d).aux.filter(F.col("term").startswith("lang:")).select("term").distinct()
+    )
 
     # index-structure queries
     q["term_stats"] = lambda s, d: (
@@ -192,11 +245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), "vec_id", "embedding", _query_vec(s, d), k=50
     )
+    # threshold 0.45 is set from the fixture's actual cosine distribution
+    # (max pairwise 0.51; 14 pairs ≥0.45 at sf0.01) so the gate checks a
+    # NON-EMPTY truth set — 0.95 matched nothing and proved nothing.
     q["embedding_neardup_pairs"] = lambda s, d: similarity.cosine_pairs(
-        _emb(s, d), "vec_id", "embedding", threshold=0.95
+        _emb(s, d), "vec_id", "embedding", threshold=0.45
     )
     q["embedding_lsh_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
-        _emb(s, d), "vec_id", "embedding", threshold=0.95
+        _emb(s, d), "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=24
     )
     return q
 
@@ -205,6 +261,27 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for name, (qs, scorer) in _FULLTEXT.items():
         o[name] = oracles.fulltext_topk_sql(parse_query(qs, k=100, scorer=scorer))
+    for name, kw in _FULLTEXT_SPECS.items():
+        spec = parse_query(
+            kw["q"],
+            k=kw.get("k", 100),
+            scorer=kw.get("scorer", "bm25"),
+            time_range=kw.get("time_range"),
+            constraints=kw.get("constraints"),
+        )
+        o[name] = oracles.filtered_topk_sql(spec)
+    o["fulltext_bm25_or_wand"] = oracles.fulltext_topk_sql(
+        parse_query("spark OR vector OR dup", k=100)
+    )
+    o["fulltext_bm25_ornot_wand"] = oracles.fulltext_topk_sql(
+        parse_query("(merge OR join) NOT window", k=100)
+    )
+    o["fulltext_bm25_and3_wand"] = oracles.fulltext_topk_sql(
+        parse_query("spark join merge", k=100)
+    )
+    o["distincts_field_lang"] = (
+        "SELECT DISTINCT 'lang:' || lower(lang) AS term FROM documents"
+    )
 
     o["term_stats"] = oracles.term_stats_sql(limit=100)
     o["corpus_stats"] = oracles.doc_stats_sql()
@@ -270,5 +347,5 @@ GROUP BY 1
     o["doc_fingerprint"] = oracles.fingerprint_sql()
     o["text_langid"] = oracles.langid_lite_sql()
     o["embedding_cosine_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
-    o["embedding_neardup_pairs"] = oracles.cosine_pairs_sql(threshold=0.95)
+    o["embedding_neardup_pairs"] = oracles.cosine_pairs_sql(threshold=0.45)
     return o

@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from miru_spark.filters import Clause, QuerySpec, parse_query
+from miru_spark.filters import (
+    Clause,
+    Leaf,
+    Node,
+    QuerySpec,
+    collect_scoring_leaves,
+    parse_query,
+)
 from miru_spark.operators.build import IndexHandle
 
 K1 = 1.2
@@ -149,19 +156,176 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     return scored
 
 
+def leaf_doc_set(index: IndexHandle, leaf: Leaf, max_expansion: int = 100) -> DataFrame:
+    """(part, doc_id) distinct doc set for one field filter.
+
+    Default field resolves against the scored content postings (prefix via
+    capped dictionary expansion); named fields resolve against the aux
+    composite-term relation ``field:value`` (MiruFieldFilter semantics)."""
+    if leaf.field:
+        if index.aux is None:
+            # unindexed field ⇒ empty set (the reference refuses unknown
+            # schema fields; empty is the conservative batch analog)
+            spark = index.stats.sparkSession
+            return spark.createDataFrame([], "part int, doc_id int")
+        composite = f"{leaf.field}:{leaf.term}"
+        pred = (
+            F.col("term").like(composite + "%")
+            if leaf.prefix
+            else F.col("term") == composite
+        )
+        return index.aux.filter(pred).select("part", "doc_id").distinct()
+    if leaf.prefix:
+        terms = [
+            r["term"]
+            for r in index.stats.filter(F.col("term").like(leaf.term + "%"))
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansion)
+            .collect()
+        ]
+    else:
+        terms = [leaf.term]
+    return postings_for_terms(index, terms).select("part", "doc_id").distinct()
+
+
+def eval_filter(
+    index: IndexHandle, node: Node | Leaf | None, max_expansion: int = 100
+) -> DataFrame:
+    """Recursive MiruFilter evaluation → (part, doc_id) doc set.
+
+    The reference's filterInOut bitmap walk (MiruAggregateUtil.java:794-874)
+    as relational set algebra: AND = inner join, OR = union+distinct,
+    pButNotQ = left-anti against the union of Q (P = full index mask when
+    None). Catalyst sees the whole tree — empty-branch short circuits and
+    join reordering are free."""
+    if node is None:
+        return index.lens.select("part", "doc_id")
+    if isinstance(node, Leaf):
+        return leaf_doc_set(index, node, max_expansion)
+    kids = node.children
+    if node.op == "and":
+        out = eval_filter(index, kids[0], max_expansion)
+        for c in kids[1:]:
+            out = out.join(eval_filter(index, c, max_expansion), ["part", "doc_id"])
+        return out
+    if node.op == "or":
+        out = eval_filter(index, kids[0], max_expansion)
+        for c in kids[1:]:
+            out = out.unionByName(eval_filter(index, c, max_expansion))
+        return out.distinct()
+    if node.op == "pButNotQ":
+        p = eval_filter(index, kids[0], max_expansion)
+        q = eval_filter(index, kids[1], max_expansion)
+        for c in kids[2:]:
+            q = q.unionByName(eval_filter(index, c, max_expansion))
+        return p.join(q, ["part", "doc_id"], "left_anti")
+    raise ValueError(f"unknown filter op {node.op}")
+
+
+def _apply_masks(index: IndexHandle, scored: DataFrame, spec: QuerySpec) -> DataFrame:
+    """AND the timeRange and constraintsFilter masks into a candidate
+    relation carrying (part, doc_id, doc_key) — the askLocal mask chain
+    (FullTextCustomQuestion.java:89-114)."""
+    out = scored
+    if spec.time_range is not None:
+        lo, hi = spec.time_range
+        out = out.filter(F.col("doc_key").between(int(lo), int(hi)))
+    for c in spec.constraints:
+        out = out.join(
+            leaf_doc_set(index, c, spec.max_expansion), ["part", "doc_id"], "left_semi"
+        )
+    return out
+
+
+def _expanded_scoring_terms(index: IndexHandle, spec: QuerySpec) -> list[tuple[str, int, int]]:
+    """Scoring (term, qtf, clause) triples for a TREE query: positive-context
+    default-field leaves with occurrence counts (collectTerm), prefixes
+    expanded against the dictionary."""
+    counts: dict[tuple[str, bool], int] = {}
+    for lf in collect_scoring_leaves(spec.tree):
+        key = (lf.term, lf.prefix)
+        counts[key] = counts.get(key, 0) + 1
+    flat_spec = QuerySpec(
+        positive=[Clause(t, p, q) for (t, p), q in counts.items()],
+        max_expansion=spec.max_expansion,
+    )
+    return expand_clauses(index, flat_spec)
+
+
+def top_k_tree(index: IndexHandle, spec: QuerySpec) -> DataFrame:
+    """Top-k for a nested filter tree: candidates from recursive set algebra,
+    scores from the positive query terms (docs matching only non-scoring
+    branches keep score 0, like the reference's unscored filter hits)."""
+    cand = eval_filter(index, spec.tree, spec.max_expansion).join(
+        index.lens, ["part", "doc_id"]
+    )
+    cand = _apply_masks(index, cand, spec)
+    expanded = _expanded_scoring_terms(index, spec)
+    if expanded:
+        spark = index.stats.sparkSession
+        q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
+        terms = sorted({t for t, _, _ in expanded})
+        contrib = (
+            postings_for_terms(index, terms)
+            .join(F.broadcast(q), "term")
+            .join(F.broadcast(index.stats.filter(F.col("term").isin(terms))), "term")
+            .join(index.lens.select("part", "doc_id", "dl"), ["part", "doc_id"])
+            .withColumn(
+                "contrib",
+                _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl),
+            )
+        )
+        scored = contrib.groupBy("part", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+        res = cand.join(scored, ["part", "doc_id"], "left").withColumn(
+            "score", F.coalesce(F.col("score"), F.lit(0.0))
+        )
+    else:
+        res = cand.withColumn("score", F.lit(0.0))
+    return (
+        res.withColumn("score_r", F.round("score", 6))
+        .orderBy(F.desc("score_r"), F.desc("doc_key"))
+        .limit(spec.k)
+        .select(F.col("doc_key").alias("doc"), F.col("score_r").alias("score"))
+    )
+
+
 def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str = "bm25") -> DataFrame:
     """Global top-k (doc_key, score) — ordered LIMIT = the reference's
     cross-partition merge (FullTextAnswerMerger.java:31-68)."""
     spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
     if spec.scorer == "time":
-        # lens always exists (loaded or in-memory index)
-        # TIME strategy: descending insertion order, score 0.0
+        # TIME strategy: descending insertion order over the ANSWER set
+        # (FullText.collectTime iterates the filtered bitmap, :222-251),
+        # score 0.0.
+        if spec.tree is not None:
+            cand = eval_filter(index, spec.tree, spec.max_expansion).join(
+                index.lens, ["part", "doc_id"]
+            )
+        else:
+            # reuse the flat filter evaluation (AND/OR matched-clause count +
+            # pButNotQ anti-join) with a throwaway scorer — scores are
+            # discarded, TIME emits 0.0
+            import dataclasses
+
+            cand = score_candidates(
+                index, dataclasses.replace(spec, scorer="bm25")
+            ).select("part", "doc_id", "doc_key")
+        matched = _apply_masks(index, cand, spec)
         return (
-            index.lens.orderBy(F.desc("doc_key"))
+            matched.orderBy(F.desc("doc_key"))
             .limit(spec.k)
             .select(F.col("doc_key").alias("doc"), F.lit(0.0).alias("score"))
         )
-    scored = score_candidates(index, spec)
+    if spec.tree is not None:
+        return top_k_tree(index, spec)
+    scored = _apply_masks(index, score_candidates(index, spec), spec)
     return (
         scored.withColumn("score_r", F.round("score", 6))
         .orderBy(F.desc("score_r"), F.desc("doc_key"))

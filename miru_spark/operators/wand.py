@@ -260,10 +260,12 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     """Top-k via the per-partition packed-postings kernel + global ordered
     LIMIT. Result is rank- and score-identical to fulltext.top_k."""
     spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
-    if spec.scorer == "time":
-        # TIME strategy is an ordered LIMIT, not a scored kernel — delegate to
-        # the shared lens path (FullText.collectTime, FullText.java:222-251)
-        # rather than silently running the tfidf TAAT kernel.
+    if spec.scorer == "time" or spec.tree is not None or spec.constraints:
+        # TIME is an ordered LIMIT, not a scored kernel; nested trees and
+        # constraint masks need the relational set-algebra path (the
+        # reference ANDs constraint bitmaps before scoring — doing it after
+        # the heap would readmit pruned docs). Delegate; results are
+        # identical by construction.
         from miru_spark.operators import fulltext as _ft
 
         return _ft.top_k(index, spec)
@@ -282,6 +284,7 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     op, sc = spec.op, spec.scorer
     kern = kernel
     kk = spec.k
+    time_range = spec.time_range
 
     def run_part(post_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
         if post_pdf.empty or lens_pdf.empty:
@@ -300,6 +303,21 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
                 neg_ids = np.unique(
                     np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
                 )
+        if time_range is not None:
+            # timeRange = doc_key range (Miru's time IS insertion order);
+            # excluded ids join the pre-admission mask — filtering after the
+            # heap would prune legitimate in-range docs
+            out_of_range = lens_pdf["doc_id"].to_numpy()[
+                (lens_pdf["doc_key"].to_numpy() < time_range[0])
+                | (lens_pdf["doc_key"].to_numpy() > time_range[1])
+            ]
+            if len(out_of_range):
+                merged = (
+                    np.union1d(neg_ids, out_of_range)
+                    if neg_ids is not None
+                    else np.unique(out_of_range)
+                )
+                neg_ids = merged
         pos_terms = _decode_terms(
             post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats, neg_ids
         )

@@ -15,7 +15,7 @@ semantics; the engine must match it from the index.
 
 from __future__ import annotations
 
-from miru_spark.filters import QuerySpec
+from miru_spark.filters import Leaf, Node, QuerySpec, collect_scoring_leaves
 from miru_spark.tokenize import duckdb_tokens_sql
 
 K1 = 1.2
@@ -99,6 +99,155 @@ scored AS (
 SELECT doc_id AS doc, round(score, 6) AS score
 FROM scored
 WHERE {matched_pred} {_neg_pred(spec)}
+ORDER BY score DESC, doc DESC LIMIT {spec.k}
+"""
+
+
+def _leaf_set_sql(leaf: Leaf, table: str, id_col: str, max_exp: int) -> str:
+    """Doc-id set for one field filter — default field over the tf CTE
+    (capped prefix expansion identical to the engine's dictionary scan),
+    named field directly on the source column (the aux composite-term
+    relation is a pure function of it)."""
+    if leaf.field:
+        col = f"lower(CAST({leaf.field} AS VARCHAR))"
+        pred = f"{col} LIKE '{leaf.term}%'" if leaf.prefix else f"{col} = '{leaf.term}'"
+        return f"SELECT {id_col} AS doc_id FROM {table} WHERE {pred}"
+    if leaf.prefix:
+        return (
+            "SELECT DISTINCT doc_id FROM tf WHERE term IN "
+            f"(SELECT term FROM (SELECT term FROM stats WHERE term LIKE '{leaf.term}%' "
+            f"ORDER BY term LIMIT {max_exp}))"
+        )
+    return f"SELECT DISTINCT doc_id FROM tf WHERE term = '{leaf.term}'"
+
+
+def _tree_set_sql(node, table: str, id_col: str, max_exp: int) -> str:
+    """MiruFilter tree → SQL set expression (AND=INTERSECT, OR=UNION,
+    pButNotQ=EXCEPT) — mirrors fulltext.eval_filter op for op."""
+    if node is None:
+        return f"SELECT {id_col} AS doc_id FROM {table}"
+    if isinstance(node, Leaf):
+        return _leaf_set_sql(node, table, id_col, max_exp)
+    assert isinstance(node, Node)
+    if node.op == "and":
+        return "(" + " INTERSECT ".join(
+            f"({_tree_set_sql(c, table, id_col, max_exp)})" for c in node.children
+        ) + ")"
+    if node.op == "or":
+        return "(" + " UNION ".join(
+            f"({_tree_set_sql(c, table, id_col, max_exp)})" for c in node.children
+        ) + ")"
+    if node.op == "pButNotQ":
+        p = _tree_set_sql(node.children[0], table, id_col, max_exp)
+        q = " UNION ".join(
+            f"({_tree_set_sql(c, table, id_col, max_exp)})" for c in node.children[1:]
+        )
+        return f"(({p}) EXCEPT ({q}))"
+    raise ValueError(node.op)
+
+
+def filtered_topk_sql(
+    spec: QuerySpec,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for tree/timeRange/constraints queries: candidates via set
+    algebra, scores from positive-context default-field leaves (LEFT JOIN,
+    unmatched candidates score 0.0), same ordered-fold float summation and
+    (score desc, doc desc) tie-break as the flat oracle."""
+    tok = duckdb_tokens_sql(text_col)
+    if spec.scorer == "bm25":
+        contrib = (
+            f"q.qtf * ln(1 + (corpus.n_docs - stats.df + 0.5) / (stats.df + 0.5)) "
+            f"* tf.tf * ({K1} + 1) "
+            f"/ (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / corpus.avgdl))"
+        )
+    elif spec.scorer == "miru_tfidf":
+        contrib = "(q.qtf * tf.tf) / stats.cum_tf"
+    elif spec.scorer == "time":
+        contrib = "0.0"
+    else:
+        raise ValueError(spec.scorer)
+
+    if spec.tree is not None:
+        cand_sql = _tree_set_sql(spec.tree, table, id_col, spec.max_expansion)
+        leaves = collect_scoring_leaves(spec.tree)
+        counts: dict[tuple[str, bool], int] = {}
+        for lf in leaves:
+            counts[(lf.term, lf.prefix)] = counts.get((lf.term, lf.prefix), 0) + 1
+        q_parts = []
+        for cid, ((t, pfx), qtf) in enumerate(sorted(counts.items())):
+            if pfx:
+                q_parts.append(
+                    f"SELECT term, {qtf} AS qtf, {cid} AS clause FROM "
+                    f"(SELECT term FROM stats WHERE term LIKE '{t}%' "
+                    f"ORDER BY term LIMIT {spec.max_expansion})"
+                )
+            else:
+                q_parts.append(f"SELECT '{t}' AS term, {qtf} AS qtf, {cid} AS clause")
+        q_cte = " UNION ALL ".join(q_parts) if q_parts else "SELECT NULL AS term, 0 AS qtf, 0 AS clause WHERE FALSE"
+    else:
+        # flat spec routed here because of time_range/constraints: candidate
+        # set = matched-clause predicate minus negatives (as in the flat
+        # oracle), scores from the same q table
+        q_cte = _q_cte(spec, spec.max_expansion)
+        matched_pred = (
+            f"matched = {len(spec.positive)}" if spec.op == "and" else "matched >= 1"
+        )
+        cand_sql = (
+            "SELECT doc_id FROM (SELECT tf.doc_id, count(DISTINCT q.clause) AS matched "
+            "FROM tf JOIN q ON q.term = tf.term GROUP BY tf.doc_id) "
+            f"WHERE {matched_pred} {_neg_pred(spec)}"
+        )
+
+    where = ["TRUE"]
+    if spec.time_range is not None:
+        where.append(f"c.doc_id BETWEEN {int(spec.time_range[0])} AND {int(spec.time_range[1])}")
+    for cl in spec.constraints:
+        where.append(f"c.doc_id IN ({_leaf_set_sql(cl, table, id_col, spec.max_expansion)})")
+    where_sql = " AND ".join(where)
+
+    if spec.scorer == "time":
+        return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS cum_tf FROM tf GROUP BY term),
+q AS ({q_cte}),
+cand AS ({cand_sql})
+SELECT c.doc_id AS doc, 0.0 AS score
+FROM cand c WHERE {where_sql}
+ORDER BY doc DESC LIMIT {spec.k}
+"""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS cum_tf FROM tf GROUP BY term),
+q AS ({q_cte}),
+cand AS ({cand_sql}),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CAST({contrib} AS DOUBLE) AS c
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN stats ON stats.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+),
+scored AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list(c ORDER BY term), 'sum') AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT c.doc_id AS doc, round(coalesce(s.score, 0.0), 6) AS score
+FROM cand c LEFT JOIN scored s ON s.doc_id = c.doc_id
+WHERE {where_sql}
 ORDER BY score DESC, doc DESC LIMIT {spec.k}
 """
 

@@ -83,12 +83,15 @@ def test_corpus_stats_match_oracle(doc_index, duck):
 
 
 def test_time_strategy_scores_zero(doc_index):
-    # reference invariant: TIME strategy scores all 0.0, newest first
-    # (MiruFullTextNGTest.java:176-183; FullText.collectTime)
-    res = fulltext.top_k(doc_index, "ignored", k=10, scorer="time").toPandas()
+    # reference invariant: TIME strategy scores all 0.0, newest matching
+    # first — iterates the ANSWER set (MiruFullTextNGTest.java:176-183;
+    # FullText.collectTime over the filtered bitmap, FullText.java:222-251)
+    res = fulltext.top_k(doc_index, "the", k=10, scorer="time").toPandas()
+    assert len(res) == 10
     assert (res["score"] == 0.0).all()
     assert res["doc"].is_monotonic_decreasing
-    assert res["doc"].iloc[0] == doc_index.corpus.n_docs - 1
+    # an absent term yields an empty answer, not newest-k of everything
+    assert fulltext.top_k(doc_index, "zzzqqq", k=10, scorer="time").count() == 0
 
 
 def test_bm25_scores_positive(doc_index):

@@ -47,10 +47,15 @@ def test_tfidf_scores_sum_to_one_per_term(activity_index):
 
 
 def test_time_strategy_all_zero_newest_first(activity_index):
-    idx, _ = activity_index
-    res = fulltext.top_k(idx, "ignored", k=5, scorer="time").toPandas()
+    # TIME iterates the ANSWER set newest-first (FullText.collectTime,
+    # FullText.java:222-251) — with 100 tokens over a 10-word alphabet every
+    # doc matches HEX_WORDS[0] (miss prob 0.9^100), so newest-5 = 19..15
+    idx, df = activity_index
+    res = fulltext.top_k(idx, HEX_WORDS[0], k=5, scorer="time").toPandas()
     assert (res["score"] == 0.0).all()
     assert list(res["doc"]) == [19, 18, 17, 16, 15]
+    # a term absent from the corpus matches nothing
+    assert fulltext.top_k(idx, "zzzqqq", k=5, scorer="time").count() == 0
 
 
 def test_and_semantics_match_bruteforce(activity_index):
