@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.filters import Leaf, parse_query
-from miru_spark.operators import analytics, dedup, fulltext, reco, similarity, textstats
+from miru_spark.operators import analytics, dedup, fulltext, models, reco, similarity, textstats
 from miru_spark.operators import wand as wand_ops
 from miru_spark.operators.build import build_index
 from miru_spark import oracles
@@ -205,7 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(s, d), "ts", "value", F.col("event_type") == "error", "day"
     )
     q["trending_peaks_daily"] = lambda s, d: analytics.trending_peaks(
-        _events(s, d), "ts", "event_type", "day"
+        _events(s, d), "ts", "event_type", "day", delta=5.0
     )
     q["stumptown_last50_errors"] = lambda s, d: analytics.last_n(
         _events(s, d),
@@ -213,6 +213,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         50,
         F.col("event_type") == "error",
         ["event_id", "ts", "user_id", "value"],
+    )
+    # Catwalk model build + Strut model score (the reference's ML surface,
+    # Catwalk.java:65-212 / Strut.java:82-248) over the events stream:
+    # label = error events; features = the acting user and the event day
+    q["catwalk_model"] = lambda s, d: models.catwalk_model(
+        _events(s, d),
+        F.col("event_type") == "error",
+        {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+    )
+    q["strut_score"] = lambda s, d: models.strut_score(
+        _events(s, d),
+        "event_id",
+        {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+        models.catwalk_model(
+            _events(s, d),
+            F.col("event_type") == "error",
+            {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+        ),
+        strategy="unit_weighted",
+        k=100,
     )
     q["reco_collaborative"] = lambda s, d: reco.collaborative_filter(
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -324,13 +344,18 @@ GROUP BY 1
     o["anomaly_error_rate_daily"] = oracles.anomaly_ratio_sql(
         "events", "ts", "event_type = 'error'", "day"
     )
-    o["trending_peaks_daily"] = oracles.trending_peaks_sql("events", "ts", "event_type", "day")
+    o["trending_peaks_daily"] = oracles.trending_peaks_sql("events", "ts", "event_type", "day", delta=5.0)
     o["stumptown_last50_errors"] = oracles.last_n_sql(
         "events",
         ["ts", "event_id"],
         50,
         "event_type = 'error'",
         ["event_id", "ts", "user_id", "value"],
+    )
+    _feat = {"user": "user_id", "day": "date_trunc('day', ts)"}
+    o["catwalk_model"] = oracles.catwalk_model_sql("events", "event_type = 'error'", _feat)
+    o["strut_score"] = oracles.strut_score_sql(
+        "events", "event_id", "event_type = 'error'", _feat, "unit_weighted", 100
     )
     o["reco_collaborative"] = oracles.collaborative_filter_sql(user_id=1, k=20)
 

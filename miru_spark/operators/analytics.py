@@ -94,21 +94,50 @@ def anomaly_ratio(
 
 
 def trending_peaks(
-    df: DataFrame, ts_col: str, group_field: str, bucket: str = "hour"
+    df: DataFrame, ts_col: str, group_field: str, bucket: str = "hour",
+    delta: float = 1.0,
 ) -> DataFrame:
-    """Count of strict interior local maxima per group's waveform — the
-    PeakDet collection step expressed with window lag/lead instead of a
-    client-side scan."""
+    """Billauer peakdet over each group's waveform — the reference's exact
+    trigger-delta scan (PeakDet.peakdet, miru-reco-plugins/.../trending/
+    PeakDet.java:43-117): a maximum is registered when the series falls by
+    more than ``delta`` below the running max, then re-arms when it rises by
+    more than ``delta`` above the running min. Strict local maxima (the old
+    lag/lead form) counted every 1-count jitter bump; this does not.
+
+    The waveform aggregation is the distributed part; the sequential scan
+    runs per group over its (small) bucket series in applyInPandas — the
+    same shape as the reference's client-side scan over the returned
+    waveform."""
     wf = waveform(df, ts_col, group_field, bucket)
-    w = Window.partitionBy("group_value").orderBy("bucket")
-    flagged = wf.select(
-        "group_value",
-        (
-            (F.col("n") > F.lag("n", 1).over(w)) & (F.col("n") > F.lead("n", 1).over(w))
-        ).alias("is_peak"),
-    )
-    return flagged.groupBy("group_value").agg(
-        F.sum(F.when(F.col("is_peak"), 1).otherwise(0)).alias("n_peaks")
+
+    def scan(pdf):
+        import pandas as pd
+
+        v = pdf.sort_values("bucket")["n"].to_numpy()
+        mn, mx = float("inf"), float("-inf")
+        lookformax = True
+        peaks = 0
+        for a in v:
+            a = float(a)
+            if a > mx:
+                mx = a
+            if a < mn:
+                mn = a
+            if lookformax:
+                if a < mx - delta:
+                    peaks += 1
+                    mn = a
+                    lookformax = False
+            else:
+                if a > mn + delta:
+                    mx = a
+                    lookformax = True
+        return pd.DataFrame(
+            {"group_value": [pdf["group_value"].iloc[0]], "n_peaks": [peaks]}
+        )
+
+    return wf.groupBy("group_value").applyInPandas(
+        scan, "group_value string, n_peaks long"
     )
 
 

@@ -1,0 +1,113 @@
+"""Catwalk (model build) + Strut (model score) — the reference's ML surface.
+
+Catwalk gathers, for every feature value (a tuple of field terms), how many
+activities in the numerator (label) set carry it and how many carry it at
+all: FeatureScore{termIds, numerators[], denominator}
+(miru-stream-plugins/.../catwalk/Catwalk.java:105-117 numerator accumulation,
+:146-186 denominator = cardinality of the AND of the feature's term bitmaps).
+That is exactly a naive-Bayes count table — one groupBy per feature
+definition, map-side combinable, no bitmaps needed.
+
+Strut scores candidates against the model: per feature,
+s_i = numerator_i / denominator (Strut.java:202-216, clamped to [0,1]),
+combined across features by CatwalkDefinition.featureStrategy
+(Strut.finalizeScore:367-397):
+
+  * UNIT_WEIGHTED      Σ s_i / n_features   (zero features score 0 — since
+                       s_i ≥ 0 the branchy reference loop reduces to this)
+  * REGRESSION_WEIGHTED Σ s_i
+  * MAX                max_i s_i
+
+then a top-k heap → ordered LIMIT. The model is small (one row per feature
+value) — broadcast joins against the candidate relation; candidate scoring
+is a fixed-size column expression in sorted-feature order, so floats are
+deterministic without any ordered fold.
+
+At 100 TB: the model build is one shuffle per feature over pre-aggregated
+partials; scoring is scan + N broadcast joins + ordered LIMIT (Catalyst's
+partial top-k per partition). No skew risk — feature values group millions
+of rows into few cells, and the heavy side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STRATEGIES = ("unit_weighted", "regression_weighted", "max")
+
+
+def catwalk_model(
+    df: DataFrame, label: Column, features: dict[str, Column]
+) -> DataFrame:
+    """(feature_id, feature_value, numerator, denominator) count model.
+
+    ``label`` is the numerator predicate (the reference's numeratorTermSets
+    membership); ``features`` maps feature id → the Catalyst expression
+    producing that feature's value (a composed term tuple in the reference —
+    compose multi-field tuples with concat_ws)."""
+    outs = []
+    for fid in sorted(features):
+        outs.append(
+            df.groupBy(features[fid].cast("string").alias("feature_value"))
+            .agg(
+                F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("numerator"),
+                F.count(F.lit(1)).alias("denominator"),
+            )
+            .select(
+                F.lit(fid).alias("feature_id"), "feature_value", "numerator", "denominator"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def strut_score(
+    df: DataFrame,
+    id_col: str,
+    features: dict[str, Column],
+    model: DataFrame,
+    strategy: str = "unit_weighted",
+    k: int = 100,
+) -> DataFrame:
+    """Top-k candidates by model score (score desc, doc desc tie-break).
+
+    One broadcast join per feature (the reference's model.score point lookup,
+    Strut.java:202-216); candidates whose feature value is absent from the
+    model contribute 0 for that feature (the reference skips null
+    modelScores)."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}")
+    fids = sorted(features)
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        *[features[fid].cast("string").alias(f"__f_{fid}") for fid in fids],
+    )
+    for fid in fids:
+        m = (
+            model.filter(F.col("feature_id") == fid)
+            .select(
+                F.col("feature_value").alias(f"__f_{fid}"),
+                (
+                    F.least(
+                        F.col("numerator").cast("double") / F.col("denominator"),
+                        F.lit(1.0),
+                    )
+                ).alias(f"__s_{fid}"),
+            )
+        )
+        out = out.join(F.broadcast(m), f"__f_{fid}", "left")
+    s = [F.coalesce(F.col(f"__s_{fid}"), F.lit(0.0)) for fid in fids]
+    if strategy == "unit_weighted":
+        score = sum(s[1:], s[0]) / F.lit(float(len(s)))
+    elif strategy == "regression_weighted":
+        score = sum(s[1:], s[0])
+    else:  # max
+        score = F.greatest(*s) if len(s) > 1 else s[0]
+    return (
+        out.select("doc", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("doc"))
+        .limit(k)
+    )

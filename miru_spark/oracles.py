@@ -335,20 +335,44 @@ SELECT bucket, hits, total, round(hits * 1.0 / total, 6) AS rate FROM (
 """
 
 
-def trending_peaks_sql(table: str, ts_col: str, group_field: str, bucket: str = "hour") -> str:
+def trending_peaks_sql(
+    table: str, ts_col: str, group_field: str, bucket: str = "hour",
+    delta: float = 1.0,
+) -> str:
+    """Billauer peakdet as a recursive-CTE state machine — one step per
+    bucket carrying (mx, mn, lookformax, n_peaks), op-for-op the reference
+    scan (PeakDet.java:43-117): mx/mn update BEFORE the trigger test, fall
+    below mx−delta registers a peak and re-seeds mn, rise above mn+delta
+    re-arms."""
     return f"""
-WITH wf AS (
+WITH RECURSIVE wf AS (
   SELECT {group_field} AS group_value, date_trunc('{bucket}', {ts_col}) AS bucket,
          count(*) AS n
   FROM {table} GROUP BY 1, 2
 ),
-flagged AS (
-  SELECT group_value,
-         (n > lag(n) OVER w AND n > lead(n) OVER w) AS is_peak
-  FROM wf WINDOW w AS (PARTITION BY group_value ORDER BY bucket)
+ordered AS (
+  SELECT group_value, CAST(n AS DOUBLE) AS n,
+         row_number() OVER (PARTITION BY group_value ORDER BY bucket) AS rn
+  FROM wf
+),
+scan AS (
+  SELECT group_value, 0 AS rn, CAST('-infinity' AS DOUBLE) AS mx,
+         CAST('infinity' AS DOUBLE) AS mn, true AS lookformax, 0 AS n_peaks
+  FROM (SELECT DISTINCT group_value FROM ordered)
+  UNION ALL
+  SELECT s.group_value, o.rn,
+    CASE WHEN NOT s.lookformax AND o.n > least(s.mn, o.n) + {delta}
+         THEN o.n ELSE greatest(s.mx, o.n) END AS mx,
+    CASE WHEN s.lookformax AND o.n < greatest(s.mx, o.n) - {delta}
+         THEN o.n ELSE least(s.mn, o.n) END AS mn,
+    CASE WHEN s.lookformax THEN NOT (o.n < greatest(s.mx, o.n) - {delta})
+         ELSE o.n > least(s.mn, o.n) + {delta} END AS lookformax,
+    s.n_peaks + CASE WHEN s.lookformax AND o.n < greatest(s.mx, o.n) - {delta}
+                     THEN 1 ELSE 0 END AS n_peaks
+  FROM scan s JOIN ordered o ON o.group_value = s.group_value AND o.rn = s.rn + 1
 )
-SELECT group_value, CAST(sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
-FROM flagged GROUP BY 1
+SELECT group_value, CAST(max(n_peaks) AS BIGINT) AS n_peaks
+FROM scan GROUP BY 1
 """
 
 
@@ -382,6 +406,58 @@ scored AS (
   GROUP BY p.i
 )
 SELECT item, score FROM scored ORDER BY score DESC, item ASC LIMIT {k}
+"""
+
+
+def catwalk_model_sql(table: str, label_pred: str, features: dict[str, str]) -> str:
+    """Naive-Bayes count model — mirrors models.catwalk_model: one grouped
+    count per feature, numerator = label hits, denominator = total."""
+    parts = [
+        f"""SELECT '{fid}' AS feature_id, CAST({expr} AS VARCHAR) AS feature_value,
+       CAST(sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END) AS BIGINT) AS numerator,
+       count(*) AS denominator
+FROM {table} GROUP BY 2"""
+        for fid, expr in sorted(features.items())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def strut_score_sql(
+    table: str,
+    id_col: str,
+    label_pred: str,
+    features: dict[str, str],
+    strategy: str = "unit_weighted",
+    k: int = 100,
+) -> str:
+    """Model-scored top-k — mirrors models.strut_score: per-feature
+    s_i = min(numerator/denominator, 1), combined in sorted-feature order."""
+    fids = sorted(features)
+    ctes = []
+    joins = []
+    s_terms = []
+    for fid in fids:
+        expr = features[fid]
+        ctes.append(
+            f"""m_{fid} AS (
+  SELECT CAST({expr} AS VARCHAR) AS fv,
+         least(CAST(sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 1.0) AS s
+  FROM {table} GROUP BY 1)"""
+        )
+        joins.append(f"LEFT JOIN m_{fid} ON m_{fid}.fv = CAST({expr} AS VARCHAR)")
+        s_terms.append(f"coalesce(m_{fid}.s, 0.0)")
+    if strategy == "unit_weighted":
+        score = "(" + " + ".join(s_terms) + f") / {float(len(fids))}"
+    elif strategy == "regression_weighted":
+        score = "(" + " + ".join(s_terms) + ")"
+    else:
+        score = "greatest(" + ", ".join(s_terms) + ")"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT e.{id_col} AS doc, round({score}, 6) AS score
+FROM {table} e
+{' '.join(joins)}
+ORDER BY score DESC, doc DESC LIMIT {k}
 """
 
 

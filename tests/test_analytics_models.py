@@ -1,0 +1,75 @@
+"""Unit tests: PeakDet trigger-delta semantics (golden vector from the
+reference's own PeakDet.main, PeakDet.java:11-20) and the Catwalk/Strut
+count-model pair."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.operators import analytics, models
+
+
+def _series_df(spark, values, group="g"):
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate(values):
+        ts = base + datetime.timedelta(hours=i)
+        rows.extend((group, ts) for _ in range(int(v)))
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_peakdet_reference_golden_vector(spark):
+    # PeakDet.main: {0,1,2,3,4,5,1,2,3,4,8,7,6,5,4,3,2,1}, delta=1 → 2 peaks
+    # (5 then 8). Zero-count buckets don't exist in a count waveform, so use
+    # the same shape shifted +1 — peak structure is translation-invariant.
+    v = [x + 1 for x in [0, 1, 2, 3, 4, 5, 1, 2, 3, 4, 8, 7, 6, 5, 4, 3, 2, 1]]
+    df = _series_df(spark, v)
+    res = analytics.trending_peaks(df, "ts", "event_type", "hour", delta=1.0).toPandas()
+    assert list(res["n_peaks"]) == [2]
+
+
+def test_peakdet_ignores_jitter_below_delta(spark):
+    # strict local maxima would count every bump; delta=2 must count none
+    v = [5, 6, 5, 6, 5, 6, 5]
+    df = _series_df(spark, v)
+    res = analytics.trending_peaks(df, "ts", "event_type", "hour", delta=2.0).toPandas()
+    assert list(res["n_peaks"]) == [0]
+    res1 = analytics.trending_peaks(df, "ts", "event_type", "hour", delta=0.5).toPandas()
+    assert list(res1["n_peaks"]) == [3]
+
+
+@pytest.fixture(scope="module")
+def label_df(spark):
+    rows = [
+        # (doc, user, kind)   user u1: 2/4 error; u2: 0/2; u3: 1/1
+        (1, "u1", "error"), (2, "u1", "ok"), (3, "u1", "error"), (4, "u1", "ok"),
+        (5, "u2", "ok"), (6, "u2", "ok"),
+        (7, "u3", "error"),
+    ]
+    return spark.createDataFrame(rows, "doc long, user string, kind string")
+
+
+def test_catwalk_counts(spark, label_df):
+    m = models.catwalk_model(
+        label_df, F.col("kind") == "error", {"user": F.col("user")}
+    ).toPandas().set_index("feature_value")
+    assert m.loc["u1", "numerator"] == 2 and m.loc["u1", "denominator"] == 4
+    assert m.loc["u2", "numerator"] == 0 and m.loc["u2", "denominator"] == 2
+    assert m.loc["u3", "numerator"] == 1 and m.loc["u3", "denominator"] == 1
+
+
+def test_strut_scores_and_strategies(spark, label_df):
+    feats = {"user": F.col("user")}
+    m = models.catwalk_model(label_df, F.col("kind") == "error", feats)
+    res = models.strut_score(label_df, "doc", feats, m, "unit_weighted", k=10).toPandas()
+    by_doc = dict(zip(res["doc"], res["score"]))
+    assert by_doc[1] == 0.5 and by_doc[5] == 0.0 and by_doc[7] == 1.0
+    # ranking: score desc then doc desc
+    assert list(res["doc"])[:1] == [7]
+    r_max = models.strut_score(label_df, "doc", feats, m, "max", k=10).toPandas()
+    assert dict(zip(r_max["doc"], r_max["score"]))[1] == 0.5
+    with pytest.raises(ValueError):
+        models.strut_score(label_df, "doc", feats, m, "bogus", k=10)

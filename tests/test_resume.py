@@ -84,6 +84,20 @@ def test_loaded_index_answers_queries(spark, documents, doc_index, built_dirs):
     assert list(got["score"]) == list(want["score"])
 
 
+def test_loaded_index_term_pushdown(spark, documents, built_dirs):
+    # the persisted-index query path must filter the packed parquet scan on
+    # term BEFORE the Python unpack map — Catalyst cannot push predicates
+    # through mapInArrow, so an unpushed plan decodes EVERY posting list
+    clean_dir, _, _ = built_dirs
+    idx = load_index(spark, clean_dir, documents)
+    plan = fulltext.top_k(idx, "spark AND join", k=10)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if "term" in m]
+    assert any("In(term" in p or "EqualTo(term" in p for p in pushed), pushed
+
+
 def test_manifest_lineage_counters(documents, built_dirs):
     clean_dir, _, _ = built_dirs
     with open(os.path.join(clean_dir, "manifest.json")) as f:
