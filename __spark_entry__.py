@@ -197,6 +197,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["aggregate_counts_by_type"] = lambda s, d: analytics.aggregate_counts(
         _events(s, d), "event_type", "ts"
     )
+    # full AggregateCounts surface: latest/oldest doc gather per group
+    # (AggregateCounts.java:260-299) + keyset pagination (resumable report)
+    q["aggregate_counts_full"] = lambda s, d: analytics.aggregate_counts(
+        _events(s, d), "event_type", "ts", doc_col="event_id"
+    )
+    q["aggregate_counts_page"] = lambda s, d: analytics.aggregate_counts(
+        _events(s, d), "event_type", "ts", doc_col="event_id", cursor="error", page_size=2
+    )
+    # paired-latest index (MiruIndexPairedLatest): latest doc per (a, b)
+    q["paired_latest_type_user"] = lambda s, d: analytics.paired_latest(
+        _events(s, d), "event_type", "user_id", "event_id"
+    )
+    # bloom index (MiruIndexBloom): per-term filter over paired values; the
+    # gate checks the no-false-negative property over every true pair
+    q["bloom_contains_true_pairs"] = lambda s, d: (
+        analytics.bloom_maybe_contains(
+            analytics.bloom_index(_events(s, d), "event_type", "user_id"),
+            _events(s, d).select("event_type", "user_id").distinct(),
+            "event_type",
+            "user_id",
+        ).agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("long").alias("n_maybe"),
+        )
+    )
     q["analytics_waveform_hourly"] = lambda s, d: analytics.waveform(
         _events(s, d), "ts", "event_type", "hour"
     )
@@ -339,6 +364,33 @@ GROUP BY 1
         "events", "user_id", "event_type = 'error'"
     )
     o["aggregate_counts_by_type"] = oracles.aggregate_counts_sql("events", "event_type", "ts")
+    # composite HUGEINT key = (ts, doc) lexicographic tie-break (DuckDB's
+    # max_by takes no struct ordering; margin covers event_id < 1e8)
+    _by = "CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id"
+    o["aggregate_counts_full"] = f"""
+SELECT event_type AS group_value, count(*) AS n,
+       min(ts) AS oldest_ts, max(ts) AS latest_ts,
+       max_by(event_id, {_by}) AS latest_doc,
+       min_by(event_id, {_by}) AS oldest_doc
+FROM events GROUP BY 1
+"""
+    o["aggregate_counts_page"] = f"""
+SELECT * FROM (
+  SELECT event_type AS group_value, count(*) AS n,
+         min(ts) AS oldest_ts, max(ts) AS latest_ts,
+         max_by(event_id, {_by}) AS latest_doc,
+         min_by(event_id, {_by}) AS oldest_doc
+  FROM events GROUP BY 1
+) WHERE group_value > 'error' ORDER BY group_value LIMIT 2
+"""
+    o["paired_latest_type_user"] = """
+SELECT event_type AS a, user_id AS b, max(event_id) AS latest_doc
+FROM events GROUP BY 1, 2
+"""
+    o["bloom_contains_true_pairs"] = """
+SELECT count(*) AS n_checked, count(*) AS n_maybe
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+"""
     o["analytics_waveform_hourly"] = oracles.waveform_sql("events", "ts", "event_type", "hour")
     o["metrics_daily"] = oracles.metrics_sql("events", "ts", "value", "day")
     o["anomaly_error_rate_daily"] = oracles.anomaly_ratio_sql(

@@ -28,9 +28,10 @@ def _spark(app: str):
 
 def cmd_build(args) -> None:
     from miru_spark.index_store import build_persistent
+    from miru_spark.sources import read_source
 
     spark = _spark("miru_build")
-    src = spark.read.parquet(args.input)
+    src = read_source(spark, args.input, args.format)
     natural_key = args.natural_key.split(",") if args.natural_key else None
     rep = build_persistent(
         src,
@@ -40,20 +41,34 @@ def cmd_build(args) -> None:
         natural_key=natural_key or (None if args.dense_id_col else ["repo", "path", "commit"]),
         capacity=args.capacity,
         wave_size=args.wave_size,
+        aux_fields=args.aux_fields.split(",") if args.aux_fields else None,
     )
     print(json.dumps(rep.__dict__))
 
 
 def cmd_query(args) -> None:
+    from miru_spark.filters import Leaf, parse_query
     from miru_spark.index_store import load_index
     from miru_spark.operators import fulltext, wand
 
     spark = _spark("miru_query")
     idx = load_index(spark, args.index)
+    time_range = None
+    if args.time_range:
+        lo, hi = args.time_range.split(",")
+        time_range = (int(lo), int(hi))
+    constraints = []
+    for c in args.constraint or []:
+        fld, val = c.split(":", 1)
+        constraints.append(Leaf(val.lower(), fld.lower()))
+    spec = parse_query(
+        args.q, k=args.k, scorer=args.scorer, time_range=time_range, constraints=constraints
+    )
     if args.engine == "wand":
-        res = wand.wand_topk(idx, args.q, k=args.k, scorer=args.scorer)
+        # wand_topk delegates tree/constraint specs to the DataFrame path
+        res = wand.wand_topk(idx, spec)
     else:
-        res = fulltext.top_k(idx, args.q, k=args.k, scorer=args.scorer)
+        res = fulltext.top_k(idx, spec)
     rows = [{"doc": r["doc"], "score": r["score"]} for r in res.collect()]
     print(json.dumps({"query": args.q, "scorer": args.scorer, "k": args.k, "results": rows}))
 
@@ -79,6 +94,8 @@ def main() -> None:
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    b.add_argument("--aux-fields", default=None, help="comma-separated single-term fields")
     b.add_argument("--text-col", default="content")
     b.add_argument("--dense-id-col", default=None)
     b.add_argument("--natural-key", default=None, help="comma-separated columns")
@@ -92,6 +109,10 @@ def main() -> None:
     q.add_argument("--k", type=int, default=100)
     q.add_argument("--scorer", default="bm25", choices=["bm25", "miru_tfidf", "time"])
     q.add_argument("--engine", default="wand", choices=["wand", "dataframe"])
+    q.add_argument("--time-range", default=None, help="lo,hi inclusive doc_key range")
+    q.add_argument(
+        "--constraint", action="append", default=None, help="field:value mask (repeatable)"
+    )
     q.set_defaults(fn=cmd_query)
 
     g = sub.add_parser("gen-corpus")

@@ -46,13 +46,37 @@ def distinct_count(df: DataFrame, field: str, predicate: Column | None = None) -
     return out.agg(F.count_distinct(F.col(field)).alias("n_distinct"))
 
 
-def aggregate_counts(df: DataFrame, group_field: str, ts_col: str) -> DataFrame:
-    """Per-group stream rollup: count + oldest/latest timestamp."""
-    return df.groupBy(F.col(group_field).alias("group_value")).agg(
+def aggregate_counts(
+    df: DataFrame,
+    group_field: str,
+    ts_col: str,
+    doc_col: str | None = None,
+    cursor=None,
+    page_size: int | None = None,
+) -> DataFrame:
+    """Per-group stream rollup — the full AggregateCounts surface
+    (miru-stream-plugins/.../filter/AggregateCounts.java:90-397): count,
+    oldest/latest timestamp, and (with ``doc_col``) the latest/oldest DOC
+    per group (the reference's most-recent-activity gather, :260-299),
+    tie-broken by (ts, doc) so the pick is total-ordered. Pagination is a
+    keyset cursor over group_value (the reference's resumable report):
+    ``cursor`` = last group of the previous page, ``page_size`` = page rows.
+    """
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min(ts_col).alias("oldest_ts"),
         F.max(ts_col).alias("latest_ts"),
-    )
+    ]
+    if doc_col is not None:
+        order = F.struct(F.col(ts_col), F.col(doc_col))
+        aggs.append(F.max_by(F.col(doc_col), order).alias("latest_doc"))
+        aggs.append(F.min_by(F.col(doc_col), order).alias("oldest_doc"))
+    out = df.groupBy(F.col(group_field).alias("group_value")).agg(*aggs)
+    if cursor is not None:
+        out = out.filter(F.col("group_value") > cursor)
+    if page_size is not None:
+        out = out.orderBy("group_value").limit(page_size)
+    return out
 
 
 def waveform(df: DataFrame, ts_col: str, group_field: str, bucket: str = "hour") -> DataFrame:
@@ -153,6 +177,78 @@ def last_n(
     out = df.filter(predicate) if predicate is not None else df
     out = out.orderBy(*[F.desc(c) for c in order_cols]).limit(n)
     return out.select(*select_cols) if select_cols else out
+
+
+def paired_latest(df: DataFrame, field_a: str, field_b: str, doc_col: str) -> DataFrame:
+    """Latest doc per composite (a, b) term — the reference's paired-latest
+    index (miru-service/.../stream/MiruIndexPairedLatest.java: one
+    latest-occurrence bitmap per composed term pair) as a max aggregate,
+    map-side combinable, no skew (pair cardinality >> group sizes)."""
+    return df.groupBy(
+        F.col(field_a).alias("a"), F.col(field_b).alias("b")
+    ).agg(F.max(doc_col).alias("latest_doc"))
+
+
+def bloom_index(
+    df: DataFrame, term_col: str, value_col: str, m: int = 1024, k: int = 4
+) -> DataFrame:
+    """Per-term Bloom filter over a paired field's values — the reference's
+    bloom index (miru-service/.../stream/MiruIndexBloom.java,
+    m-plugin/index/BloomIndex.java: per (field,term) filter used as a
+    contains-any precheck). Layout: (term, word, bits) — only non-zero
+    64-bit words are materialized, built with ONE explode + bit_or groupBy
+    (map-side combinable, JVM-side hashing; no Python).
+    """
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+    exploded = df.select(
+        F.col(term_col).alias("term"), F.explode(positions).alias("pos")
+    )
+    return (
+        exploded.withColumn("word", (F.col("pos") / 64).cast("int"))
+        .withColumn("bit", F.pmod(F.col("pos"), F.lit(64)).cast("int"))
+        .groupBy("term", "word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame, probes: DataFrame, term_col: str, value_col: str,
+    m: int = 1024, k: int = 4,
+) -> DataFrame:
+    """Membership precheck: for each probe (term, value) row, true iff ALL k
+    bit positions are set in the term's filter (no false negatives by
+    construction; false-positive rate ≈ (1-e^{-kn/m})^k). Expressed as an
+    explode + join + all-bits-present aggregate — the reference walks the
+    same k hashed positions (BloomIndex.mightContain)."""
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+    probe_bits = (
+        probes.select(
+            F.col(term_col).alias("term"),
+            F.col(value_col).alias("value"),
+            F.explode(positions).alias("pos"),
+        )
+        .withColumn("word", (F.col("pos") / 64).cast("int"))
+        .withColumn("bit", F.pmod(F.col("pos"), F.lit(64)).cast("int"))
+    )
+    joined = probe_bits.join(bloom, ["term", "word"], "left").withColumn(
+        "hit",
+        F.coalesce(
+            F.expr("(bits & shiftleft(CAST(1 AS BIGINT), bit)) != 0"), F.lit(False)
+        ),
+    )
+    return joined.groupBy("term", "value").agg(
+        (F.count(F.lit(1)) == F.sum(F.when(F.col("hit"), 1).otherwise(0))).alias("maybe")
+    )
 
 
 def time_range_mask(

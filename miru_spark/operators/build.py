@@ -83,23 +83,36 @@ def prepare_docs(
             "doc_id", (gid % capacity).cast("int")
         )
     else:
-        key = F.concat_ws("\x00", *[F.col(c) for c in natural_key])
+        key_cols = [F.col(c) for c in natural_key]
+        key = F.concat_ws("\x00", *key_cols)
         if n_parts is None:
             # partition count must be a function of DATA SIZE, never cluster
             # width — otherwise doc ids (and the whole index layout) change
             # with executor count, breaking resume and rank-identity.
             n_parts = max(1, -(-df.count() // capacity))
-        out = out.withColumn("part", F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int"))
-        w = Window.partitionBy("part").orderBy(*[F.col(c) for c in natural_key])
-        out = out.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+        # id assignment runs on a KEY-ONLY projection (column pruning reaches
+        # the scan), then joins back — the per-part row_number window must
+        # never carry `content`: shuffling+sorting full rows through the
+        # window was the one anti-scaling build phase (12.7s → 25.7s going
+        # 8→32 threads at 100k rows), and the window's parallelism is capped
+        # at n_parts while the join shuffle is full-width.
+        ids = (
+            df.select(*natural_key)
+            .withColumn("part", F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int"))
+        )
+        w = Window.partitionBy("part").orderBy(*key_cols)
+        ids = ids.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
         # doc_key = part << 32 | doc_id: collision-free regardless of hash
         # skew (a part whose row_number overruns `capacity` would collide
         # with the next part under part*capacity+doc_id — silent doc-identity
         # corruption in gather/tie-break/dedup). 32-bit shift is safe: doc_id
         # is int, part < 2^31.
-        out = out.withColumn(
+        ids = ids.withColumn(
             "doc_key", F.shiftleft(F.col("part").cast("long"), 32) + F.col("doc_id")
         )
+        # tiny (keys + ids) — cache so the window runs once even when two
+        # consumers (tokenize pass, doc-meta pass) recompute the join
+        out = out.join(ids.cache(), natural_key)
     return out
 
 
@@ -572,26 +585,36 @@ def build_index(
     if spread is None:
         spread = sc.defaultParallelism * 3
     docs = prepare_docs(docs_source, text_col, dense_id_col, natural_key, capacity, n_parts)
-    # spread the tokenize input AFTER id assignment: the natural-key window
-    # (or AQE coalescing) otherwise leaves the CPU-bound Arrow tokenize stage
-    # with as few tasks as there are doc-partitions. A numbered repartition
-    # is AQE-coalesce-exempt. One content shuffle, measured 3.5× at local[32].
-    docs = docs.repartition(spread) if spread else docs
+    # CONTENT IS NEVER CACHED. Caching the id-assigned source (round-1
+    # design) pushed ~0.5 GB of strings through the single local-mode
+    # BlockManager and anti-scaled 8→32 threads; the same columnar cache
+    # write is pure overhead on a real cluster too (content is consumed
+    # exactly once, by the tokenize pass). Instead: the tiny id relation is
+    # cached inside prepare_docs, the doc-meta pass reads a content-free
+    # projection (sha computed at the scan, column pruned immediately), and
+    # the only content movement is ONE shuffle into the tokenize stage.
+    slim = docs.select("part", "doc_id", "doc_key", "content_sha")
+    # spread the tokenize input AFTER id assignment: AQE coalescing
+    # otherwise leaves the CPU-bound Arrow tokenize stage with as few tasks
+    # as the source has files. A numbered repartition is AQE-coalesce-exempt.
+    # Measured 3.5× at local[32].
+    tok_src = docs.repartition(spread) if spread else docs
+    flat = flat_postings(tok_src, text_col)
     if cache:
-        # cache the id-assigned source so the natural-key window runs exactly
-        # once (flat AND meta both consume it). At cluster scale pass
-        # cache=False — postings/doclens are persisted instead.
-        docs = docs.cache()
-    flat = flat_postings(docs, text_col)
-    if cache:
+        slim = slim.cache()
         flat = flat.cache()
-    meta = doc_meta(docs, flat)
+    meta = doc_meta(slim, flat)
     if strategy == "sort":
         # sort-based merge (default): shuffle-sort delivers each posting list
         # as a contiguous run, packed streaming — no JVM array
         # materialization, hot terms handled by the external sort itself.
         hot, segments = [], None
         packed = packed_from_flat(flat)
+        if cache:
+            # packed is compact (delta+varint binaries); caching it keeps
+            # term_stats and the WAND query path from re-running the
+            # shuffle-sort pack
+            packed = packed.cache()
     else:
         # hash-agg strategy with explicit hot-term salting: detection only
         # matters when a per-part list can exceed the threshold (per-part df

@@ -103,20 +103,62 @@ def _hash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> DataFrame:
-    """(doc, sig: array<long>) — k min-hashes, all JVM-side.
+    """(doc, sig: array<long>) — k min-hashes.
 
-    h_i(s) = (a_i * x + b_i) mod M61 over x = xxhash64(shingle); the min per
-    doc is one groupBy with k aggregate expressions (map-side combinable) —
-    no per-row Python, no explode-by-k blowup.
+    h_i(s) = (a_i * x + b_i) mod M31 over x = xxhash64(shingle) mod M31
+    (hashed JVM-side). The per-doc min over all k functions is ONE
+    Arrow-batched numpy pass over doc-sorted runs ((n×k) broadcasted
+    multiply + minimum.reduceat at run starts, partition-trailing run
+    carried across batches) — codegen'ing k=128 separate min aggregates was
+    measured at 31% of the whole bench suite. Map-side pre-aggregation is
+    traded for one (doc, x) shuffle; rows per doc are bounded by doc length,
+    so no reducer hot spot.
     """
     a, b = _hash_params(k, seed)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    aggs = [
-        F.min(F.pmod(x * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs)
-    return sig.select("doc", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    hashed = sh.select("doc", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("x"))
+    src = hashed.repartition("doc").sortWithinPartitions("doc")
+    av = a.reshape(1, -1)
+    bv = b.reshape(1, -1)
+    M = _MERSENNE
+
+    def _sig(batches):
+        import pyarrow as pa
+
+        def emit(docs: np.ndarray, mins: np.ndarray) -> pa.RecordBatch:
+            n = len(docs)
+            offsets = np.arange(0, (n + 1) * k, k, dtype=np.int32)
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(mins.ravel(), pa.int64())
+            )
+            return pa.RecordBatch.from_arrays(
+                [pa.array(docs.astype(np.int64)), sig_col], names=["doc", "sig"]
+            )
+
+        carry_doc = None
+        carry_min = None
+        for batch in batches:
+            d = batch.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+            x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(d):
+                continue
+            # x, a < 2^31 ⇒ x*a + b < 2^62: no int64 overflow
+            h = (x[:, None] * av + bv) % M
+            starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+            mins = np.minimum.reduceat(h, starts, axis=0)
+            run_docs = d[starts]
+            if carry_doc is not None:
+                if run_docs[0] == carry_doc:
+                    mins[0] = np.minimum(mins[0], carry_min)
+                else:
+                    yield emit(np.array([carry_doc]), carry_min[None, :])
+            carry_doc = int(run_docs[-1])
+            carry_min = mins[-1].copy()
+            if len(run_docs) > 1:
+                yield emit(run_docs[:-1], mins[:-1])
+        if carry_doc is not None:
+            yield emit(np.array([carry_doc]), carry_min[None, :])
+
+    return src.mapInArrow(_sig, "doc long, sig array<long>")
 
 
 def lsh_candidate_pairs(
