@@ -35,10 +35,16 @@ def _sf_from_dir(d: str) -> float:
         return 0.0
 
 
-def build_corpus_index(spark, n_rows: int):
+def build_corpus_index(spark, n_rows: int, fixed_layout: bool = False):
     """Index-build throughput job over the synthetic source-code corpus
     (input_hint shape), read from parquet so generation cost is excluded.
-    Returns (docs/sec, n_postings, sec)."""
+    Returns (docs/sec, n_postings, sec).
+
+    ``fixed_layout`` pins every partition count (tokenize spread, pack
+    width) to constants independent of cluster width so scaling legs run
+    the IDENTICAL plan and differ only in parallelism — the fair N-vs-4N
+    comparison (and the production regime: layout sized from data, not
+    from executor count)."""
     from miru_spark.corpus import materialize_corpus
     from miru_spark.operators.build import build_index
     from pyspark.sql import functions as F
@@ -62,6 +68,8 @@ def build_corpus_index(spark, n_rows: int):
         capacity=1024,
         hot_df_threshold=max(200, n_rows // 10),
         cache=True,
+        spread=96 if fixed_layout else None,
+        pack_partitions=64 if fixed_layout else None,
     )
     n_postings = idx.packed.count()
     dt = time.perf_counter() - t0
@@ -71,10 +79,12 @@ def build_corpus_index(spark, n_rows: int):
 def run_suite() -> dict:
     from miru_spark.session import get_spark
     from miru_spark.filters import parse_query
-    from miru_spark.operators import analytics, dedup, fulltext, similarity
+    from miru_spark.operators import analytics, dedup, fulltext, models, similarity
+    from miru_spark.operators import wand as wand_ops
     from miru_spark.operators.build import build_index
     from pyspark.sql import functions as F
 
+    os.environ.setdefault("SPARK_GRAFT_PREALLOC", "1")
     spark = get_spark("miru_spark_bench", master=f"local[{CPUS}]")
     queries: dict[str, float] = {}
     t_total0 = time.perf_counter()
@@ -109,10 +119,23 @@ def run_suite() -> dict:
     _t("q_bm25_prefix", lambda: fulltext.top_k(idx, "s*", k=100).collect())
     _t("q_tfidf", lambda: fulltext.top_k(
         idx, parse_query("spark OR join", k=100, scorer="miru_tfidf")).collect())
+    _t("q_nested_bool", lambda: fulltext.top_k(
+        idx, parse_query("spark AND (join OR merge) NOT window", k=100)).collect())
+    _t("q_wand_or", lambda: wand_ops.wand_topk(
+        idx, "spark OR vector OR dup", k=100).collect())
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     _t("q_waveform", lambda: analytics.waveform(events, "ts", "event_type", "hour").collect())
-    _t("q_trending", lambda: analytics.trending_peaks(events, "ts", "event_type", "day").collect())
+    _t("q_trending", lambda: analytics.trending_peaks(
+        events, "ts", "event_type", "day", delta=5.0).collect())
+    _t("q_strut", lambda: models.strut_score(
+        events, "event_id",
+        {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+        models.catwalk_model(
+            events, F.col("event_type") == "error",
+            {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+        ),
+        "unit_weighted", 100).collect())
 
     _t("q_minhash_dedup", lambda: dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, threshold=0.85).collect())
@@ -142,9 +165,13 @@ def _scaling_child(cpus: int, n_rows: int) -> None:
     from miru_spark.session import get_spark
 
     # 48g heap: at 32 threads the default 16g splits execution memory too
-    # thin across concurrent sorts (spill churn) — measured 68s → 56s
+    # thin across concurrent sorts (spill churn) — measured 68s → 56s.
+    # shuffle_partitions pinned to 32 for BOTH widths: the scaling legs must
+    # run the identical plan (fixed_layout below pins spread + pack width
+    # too) so only parallelism varies.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    os.environ["SPARK_GRAFT_PREALLOC"] = "1"
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=32)
     # warmup: small build in the same session so JVM codegen + python-worker
     # startup don't pollute the scaling measurement
     warm = build_index(
@@ -153,29 +180,39 @@ def _scaling_child(cpus: int, n_rows: int) -> None:
         hot_df_threshold=0, cache=False,
     )
     warm.packed.count()
-    dps, n_postings, dt = build_corpus_index(spark, n_rows)
+    dps, n_postings, dt = build_corpus_index(spark, n_rows, fixed_layout=True)
     print(json.dumps({"cpus": cpus, "docs_per_sec": dps, "sec": dt, "n_postings": n_postings}))
     spark.stop()
 
 
-def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
-    # the sandbox host is shared and intermittently contended — interleave
-    # the two widths and take best-of-2 per width so transient noise can't
-    # fake (or hide) scaling
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_scaling(n_rows: int = SCALING_ROWS, rounds: int = 3) -> dict:
+    # the sandbox host is shared and intermittently contended (identical
+    # legs measured up to 2× apart) — interleave the two widths `rounds`
+    # times and report best-of per width: best-of approximates the
+    # uncontended wall time, which is the quantity the N-vs-4N criterion is
+    # about (exogenous co-tenant stalls are not engine scaling behavior)
     samples: dict[int, list[float]] = {8: [], 32: []}
     results = {}
-    for cpus in (8, 32, 8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus), str(n_rows)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        samples[cpus].append(r["sec"])
-        if cpus not in results or r["sec"] < results[cpus]["sec"]:
-            results[cpus] = r
+    for _ in range(rounds):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus), str(n_rows)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            samples[cpus].append(r["sec"])
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
     t8, t32 = results[8]["sec"], results[32]["sec"]
     eff = (t8 / t32) / 4.0
+    eff_med = (_median(samples[8]) / _median(samples[32])) / 4.0
     report = {
         "n_rows": n_rows,
         "local8_sec": round(t8, 2),
@@ -183,26 +220,13 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
         "local8_docs_per_sec": round(results[8]["docs_per_sec"], 1),
         "local32_docs_per_sec": round(results[32]["docs_per_sec"], 1),
         "scaling_efficiency_N_to_4N": round(eff, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
         "n_postings": results[32]["n_postings"],
         "samples_sec": {str(k): [round(x, 2) for x in v] for k, v in samples.items()},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            "# BENCH baseline — measured on this sandbox\n\n"
-            "Index-build job (synthetic source-code corpus, input_hint shape, "
-            f"{n_rows} rows): tokenize → posting lists → salted merge → pack.\n\n"
-            "| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
-            f"| local[8] (N) | {report['local8_sec']} | {report['local8_docs_per_sec']} |\n"
-            f"| local[32] (4N) | {report['local32_sec']} | {report['local32_docs_per_sec']} |\n\n"
-            f"**Scaling efficiency (T_N / T_4N) / 4 = {report['scaling_efficiency_N_to_4N']}** "
-            "(north_rule target ≥ 0.8; evidenced at two parallelism levels on "
-            "identical input per driver instruction — no real cluster in this sandbox).\n\n"
-            f"Packed posting segments produced: {report['n_postings']}.\n\n"
-            f"Per-width wall-time samples (best-of-2, interleaved to defeat "
-            f"shared-host noise): {json.dumps(report['samples_sec'])}. The "
-            "sandbox host is shared; single-sample runs varied up to 2×.\n"
-        )
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(report, f, indent=2)
     return report
 
 

@@ -315,15 +315,18 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
 
         carry: dict | None = None  # trailing (possibly incomplete) run
 
-        def emit(parts, terms, offsets, doc_ids, tfs):
+        def emit(parts_col, terms_col, offsets, doc_ids, tfs):
+            # parts_col/terms_col are Arrow arrays of ONE entry per run —
+            # terms never round-trip through Python (a 10M-row to_pylist()
+            # per task dominated the pack pass before)
             lens = np.diff(offsets)
             ids_col, tfs_col, bl_col, bm_col = _pack_arrays(
                 offsets.astype(np.int64), doc_ids, tfs
             )
             return pa.RecordBatch.from_arrays(
                 [
-                    pa.array(parts, pa.int32()),
-                    pa.array(terms, pa.string()),
+                    parts_col,
+                    terms_col,
                     pa.array(lens.astype(np.int64)),
                     pa.array(np.add.reduceat(tfs.astype(np.int64), offsets[:-1])
                              if len(doc_ids) else np.empty(0, np.int64)),
@@ -331,6 +334,15 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
                        "ids", "tfs", "block_last", "block_max_tf"],
+            )
+
+        def emit_carry(c):
+            c_ids = np.concatenate(c["ids"])
+            c_tfs = np.concatenate(c["tfs"])
+            return emit(
+                pa.array([c["part"]], pa.int32()),
+                pa.array([c["term"]], pa.string()),
+                np.array([0, len(c_ids)], np.int64), c_ids, c_tfs,
             )
 
         for batch in batches:
@@ -346,37 +358,22 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
             p_change = parts[1:] != parts[:-1]
             change = np.asarray(t_change.to_numpy(zero_copy_only=False), dtype=bool) | p_change
             starts = np.concatenate(([0], np.flatnonzero(change) + 1)).astype(np.int64)
-            terms_py = terms_arr.to_pylist()
             # merge carry with first run when the key continues
             if carry is not None:
-                if carry["part"] == parts[0] and carry["term"] == terms_py[0]:
+                if carry["part"] == parts[0] and carry["term"] == terms_arr[0].as_py():
                     first_end = starts[1] if len(starts) > 1 else m
                     carry["ids"].append(doc_ids[:first_end])
                     carry["tfs"].append(tfs[:first_end])
                     if len(starts) == 1:
                         continue  # whole batch continues the carried run
                     starts = starts[1:]
-                    # fall through: carry completed, emit it standalone below
-                    c_ids = np.concatenate(carry["ids"])
-                    c_tfs = np.concatenate(carry["tfs"])
-                    yield emit(
-                        np.array([carry["part"]], np.int32), [carry["term"]],
-                        np.array([0, len(c_ids)], np.int64), c_ids, c_tfs,
-                    )
-                    carry = None
-                else:
-                    c_ids = np.concatenate(carry["ids"])
-                    c_tfs = np.concatenate(carry["tfs"])
-                    yield emit(
-                        np.array([carry["part"]], np.int32), [carry["term"]],
-                        np.array([0, len(c_ids)], np.int64), c_ids, c_tfs,
-                    )
-                    carry = None
+                yield emit_carry(carry)
+                carry = None
             # last run is always carried (next batch may continue it)
             last_start = int(starts[-1])
             carry = {
                 "part": int(parts[last_start]),
-                "term": terms_py[last_start],
+                "term": terms_arr[last_start].as_py(),
                 "ids": [doc_ids[last_start:]],
                 "tfs": [tfs[last_start:]],
             }
@@ -387,19 +384,14 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                 rel = (starts - s0).astype(np.int64)
                 run_starts = starts[:-1]
                 yield emit(
-                    parts[run_starts],
-                    [terms_py[int(s)] for s in run_starts],
+                    pa.array(parts[run_starts], pa.int32()),
+                    pc.take(terms_arr, pa.array(run_starts)),
                     rel,
                     doc_ids[s0:last_start],
                     tfs[s0:last_start],
                 )
         if carry is not None:
-            c_ids = np.concatenate(carry["ids"])
-            c_tfs = np.concatenate(carry["tfs"])
-            yield emit(
-                np.array([carry["part"]], np.int32), [carry["term"]],
-                np.array([0, len(c_ids)], np.int64), c_ids, c_tfs,
-            )
+            yield emit_carry(carry)
 
     return src.mapInArrow(_pack_runs, PACKED_SCHEMA)
 
@@ -566,6 +558,7 @@ def build_index(
     spread: int | None = None,
     strategy: str = "sort",
     aux_fields: list[str] | None = None,
+    pack_partitions: int | None = None,
 ) -> IndexHandle:
     """``strategy``: 'sort' (default — shuffle-sort streaming pack) or
     'hash_agg' (collect_list + explicit hot-term salting; byte-identical
@@ -608,8 +601,10 @@ def build_index(
         # sort-based merge (default): shuffle-sort delivers each posting list
         # as a contiguous run, packed streaming — no JVM array
         # materialization, hot terms handled by the external sort itself.
+        # pack partition count should derive from DATA VOLUME at cluster
+        # scale (callers size it); default falls back to cluster width
         hot, segments = [], None
-        packed = packed_from_flat(flat)
+        packed = packed_from_flat(flat, pack_partitions)
         if cache:
             # packed is compact (delta+varint binaries); caching it keeps
             # term_stats and the WAND query path from re-running the
