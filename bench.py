@@ -68,8 +68,9 @@ def build_corpus_index(spark, n_rows: int, fixed_layout: bool = False):
         capacity=1024,
         hot_df_threshold=max(200, n_rows // 10),
         cache=True,
+        strategy="fused",
         spread=96 if fixed_layout else None,
-        pack_partitions=64 if fixed_layout else None,
+        pack_partitions=96 if fixed_layout else None,
     )
     n_postings = idx.packed.count()
     dt = time.perf_counter() - t0
@@ -175,9 +176,9 @@ def _scaling_child(cpus: int, n_rows: int) -> None:
     # warmup: small build in the same session so JVM codegen + python-worker
     # startup don't pollute the scaling measurement
     warm = build_index(
-        corpus_df(spark, 500), text_col="content",
+        corpus_df(spark, 2000), text_col="content",
         natural_key=["repo", "path", "commit"], capacity=1 << 20,
-        hot_df_threshold=0, cache=False,
+        hot_df_threshold=0, cache=False, strategy="fused",
     )
     warm.packed.count()
     dps, n_postings, dt = build_corpus_index(spark, n_rows, fixed_layout=True)

@@ -227,6 +227,13 @@ PACKED_SCHEMA = (
     "ids binary, tfs binary, block_last array<long>, block_max_tf array<long>"
 )
 
+# sentinel term whose posting row carries the partition's forward dl array
+# (ids = doc ids, tfs = doc lengths) — the reference's special-cell trick
+# (global cardinality under docId=-1, LabFieldIndex.java:510-535) applied to
+# the doc-length norm. '\x00' cannot appear in a token ([a-z0-9_']+) or an
+# aux composite term, so the namespace is collision-free.
+DL_TERM = "\x00dl"
+
 
 def _binary_from_parts(byte_buf: np.ndarray, row_nbytes: np.ndarray) -> pa.Array:
     """Zero-copy Arrow binary column from one contiguous byte buffer +
@@ -394,6 +401,120 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
             yield emit_carry(carry)
 
     return src.mapInArrow(_pack_runs, PACKED_SCHEMA)
+
+
+def packed_fused(
+    docs: DataFrame, text_col: str = "content", num_tasks: int | None = None
+) -> DataFrame:
+    """Tokenize AND pack in ONE task per doc-partition group — no flat
+    shuffle at all.
+
+    This is the reference's actual shape: MiruIndexer builds each partition's
+    inverted index locally (miru-service/.../stream/MiruIndexer.java:47-126,
+    per-field compose within the partition); nothing about posting-list
+    construction ever crosses partitions. Spark restatement: ONE shuffle of
+    content hash-partitioned by ``part``, then per task: Arrow-batched
+    tokenize+tf (the flat_postings kernel), term interning, one lexsort per
+    part, vectorized delta+varint pack. The 10M-row (part,term,doc_id,tf)
+    shuffle + external string sort of the 'sort' strategy disappears.
+
+    Per-task state is O(postings of its parts) — bounded by ``capacity``
+    exactly like the reference's per-partition in-memory delta index; size
+    ``capacity`` so one partition's postings fit an executor (Miru's own
+    sizing rule). Output rows are byte-identical to the other strategies
+    (ids sorted per (part, term)); only row order differs.
+    """
+    import re
+
+    from miru_spark.tokenize import TOKEN_SPLIT_RE
+
+    find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
+    spark = docs.sparkSession
+    n = num_tasks or spark.sparkContext.defaultParallelism * 2
+    src = docs.select("part", "doc_id", F.col(text_col)).repartition(n, "part")
+
+    def _tok_pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from collections import Counter
+
+        # per part: term interner + chunked (code, doc_id, tf) buffers
+        interns: dict[int, dict[str, int]] = {}
+        bufs: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for batch in batches:
+            parts = batch.column("part").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            b_code, b_doc, b_tf, b_part = [], [], [], []
+            for p, d, txt in zip(parts, doc_ids, texts):
+                if not txt:
+                    continue
+                counts = Counter(find_re.findall(txt.lower()))
+                if not counts:
+                    continue
+                intern = interns.setdefault(int(p), {})
+                codes = [
+                    intern.setdefault(t, len(intern)) for t in counts.keys()
+                ]
+                k = len(codes)
+                b_part.append(np.full(k, p, dtype=np.int32))
+                b_code.append(np.fromiter(codes, dtype=np.int64, count=k))
+                b_doc.append(np.full(k, d, dtype=np.int32))
+                b_tf.append(np.fromiter(counts.values(), dtype=np.int32, count=k))
+            if b_code:
+                pc_ = np.concatenate(b_part)
+                cc = np.concatenate(b_code)
+                dd = np.concatenate(b_doc)
+                tt = np.concatenate(b_tf)
+                for p in np.unique(pc_):
+                    m = pc_ == p
+                    bufs.setdefault(int(p), []).append((cc[m], dd[m], tt[m]))
+        for p in sorted(bufs):
+            codes = np.concatenate([c for c, _, _ in bufs[p]])
+            docs_ = np.concatenate([d for _, d, _ in bufs[p]])
+            tfs_ = np.concatenate([t for _, _, t in bufs[p]])
+            # forward dl array as a sentinel posting row (docId=-1 cell
+            # analog): dl per doc = Σtf, ids ascending by construction
+            dl_arr = np.bincount(docs_, weights=tfs_).astype(np.int64)
+            dl_ids = np.flatnonzero(dl_arr).astype(np.int32)
+            dl_tfs = dl_arr[dl_ids].astype(np.int32)
+            dl_off = np.array([0, len(dl_ids)], dtype=np.int64)
+            d_ids, d_tfs, d_bl, d_bm = _pack_arrays(dl_off, dl_ids, dl_tfs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.array([p], dtype=np.int32)),
+                    pa.array([DL_TERM], pa.string()),
+                    pa.array(np.array([len(dl_ids)], dtype=np.int64)),
+                    pa.array(np.array([int(dl_tfs.sum())], dtype=np.int64)),
+                    d_ids, d_tfs, d_bl, d_bm,
+                ],
+                names=["part", "term", "df_part", "cum_tf_part",
+                       "ids", "tfs", "block_last", "block_max_tf"],
+            )
+            terms = np.array(list(interns[p].keys()))
+            # sort by (term STRING, doc_id): order must match the shuffle-sort
+            # strategy byte-for-byte, and intern codes are arrival-ordered
+            code_rank = np.empty(len(terms), dtype=np.int64)
+            code_rank[np.argsort(terms, kind="stable")] = np.arange(len(terms))
+            order = np.lexsort((docs_, code_rank[codes]))
+            codes, docs_, tfs_ = codes[order], docs_[order], tfs_[order]
+            ranked = code_rank[codes]
+            starts = np.concatenate(([0], np.flatnonzero(ranked[1:] != ranked[:-1]) + 1))
+            offsets = np.concatenate((starts, [len(codes)])).astype(np.int64)
+            lens = np.diff(offsets)
+            ids_col, tfs_col, bl_col, bm_col = _pack_arrays(offsets, docs_, tfs_)
+            sorted_terms = terms[np.argsort(terms, kind="stable")]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(len(lens), p, dtype=np.int32)),
+                    pa.array(sorted_terms[ranked[starts]], pa.string()),
+                    pa.array(lens.astype(np.int64)),
+                    pa.array(np.add.reduceat(tfs_.astype(np.int64), offsets[:-1])),
+                    ids_col, tfs_col, bl_col, bm_col,
+                ],
+                names=["part", "term", "df_part", "cum_tf_part",
+                       "ids", "tfs", "block_last", "block_max_tf"],
+            )
+
+    return src.mapInArrow(_tok_pack, PACKED_SCHEMA)
 
 
 def pack_segments(segments: DataFrame) -> DataFrame:
@@ -587,37 +708,62 @@ def build_index(
     # projection (sha computed at the scan, column pruned immediately), and
     # the only content movement is ONE shuffle into the tokenize stage.
     slim = docs.select("part", "doc_id", "doc_key", "content_sha")
-    # spread the tokenize input AFTER id assignment: AQE coalescing
-    # otherwise leaves the CPU-bound Arrow tokenize stage with as few tasks
-    # as the source has files. A numbered repartition is AQE-coalesce-exempt.
-    # Measured 3.5× at local[32].
-    tok_src = docs.repartition(spread) if spread else docs
-    flat = flat_postings(tok_src, text_col)
-    if cache:
-        slim = slim.cache()
-        flat = flat.cache()
-    meta = doc_meta(slim, flat)
-    if strategy == "sort":
-        # sort-based merge (default): shuffle-sort delivers each posting list
-        # as a contiguous run, packed streaming — no JVM array
-        # materialization, hot terms handled by the external sort itself.
-        # pack partition count should derive from DATA VOLUME at cluster
-        # scale (callers size it); default falls back to cluster width
+    lazy = False
+    if strategy == "fused":
+        # per-partition fused tokenize+pack (the MiruIndexer shape): one
+        # content shuffle by part, zero posting shuffles. dl comes from the
+        # sentinel DL_TERM posting row emitted by the kernel; flat is a
+        # decode view over cached packed, and queries term-prune the packed
+        # relation first (lazy=True).
         hot, segments = [], None
-        packed = packed_from_flat(flat, pack_partitions)
+        packed_all = packed_fused(docs, text_col, pack_partitions)
         if cache:
-            # packed is compact (delta+varint binaries); caching it keeps
-            # term_stats and the WAND query path from re-running the
-            # shuffle-sort pack
-            packed = packed.cache()
+            slim = slim.cache()
+            packed_all = packed_all.cache()
+        # the DL_TERM sentinel rows carry the forward dl array; real
+        # postings exclude them (queries term-filter anyway, but full-scan
+        # ops like gather must not see the sentinel)
+        packed = packed_all.filter(F.col("term") != DL_TERM)
+        dl_rows = unpack_postings(
+            packed_all.filter(F.col("term") == DL_TERM)
+        ).select("part", "doc_id", F.col("tf").cast("long").alias("dl"))
+        flat = unpack_postings(packed)
+        meta = slim.join(dl_rows, ["part", "doc_id"], "left").withColumn(
+            "dl", F.coalesce(F.col("dl"), F.lit(0))
+        )
+        lazy = True
     else:
-        # hash-agg strategy with explicit hot-term salting: detection only
-        # matters when a per-part list can exceed the threshold (per-part df
-        # is bounded by capacity — skip the pass when it can't trigger).
-        detect = hot_df_threshold and hot_df_threshold < capacity
-        hot = detect_hot_terms(flat, hot_df_threshold) if detect else []
-        segments = build_segments(flat, hot, salt_buckets)
-        packed = pack_segments(segments)
+        # spread the tokenize input AFTER id assignment: AQE coalescing
+        # otherwise leaves the CPU-bound Arrow tokenize stage with as few
+        # tasks as the source has files. A numbered repartition is
+        # AQE-coalesce-exempt. Measured 3.5× at local[32].
+        tok_src = docs.repartition(spread) if spread else docs
+        flat = flat_postings(tok_src, text_col)
+        if cache:
+            slim = slim.cache()
+            flat = flat.cache()
+        meta = doc_meta(slim, flat)
+        if strategy == "sort":
+            # sort-based merge: shuffle-sort delivers each posting list as a
+            # contiguous run, packed streaming — no JVM array
+            # materialization, hot terms handled by the external sort.
+            # pack partition count should derive from DATA VOLUME at cluster
+            # scale (callers size it); default falls back to cluster width
+            hot, segments = [], None
+            packed = packed_from_flat(flat, pack_partitions)
+            if cache:
+                # packed is compact (delta+varint binaries); caching it
+                # keeps term_stats and the WAND query path from re-running
+                # the shuffle-sort pack
+                packed = packed.cache()
+        else:
+            # hash-agg strategy with explicit hot-term salting: detection
+            # only matters when a per-part list can exceed the threshold
+            # (per-part df is bounded by capacity).
+            detect = hot_df_threshold and hot_df_threshold < capacity
+            hot = detect_hot_terms(flat, hot_df_threshold) if detect else []
+            segments = build_segments(flat, hot, salt_buckets)
+            packed = pack_segments(segments)
     stats = term_stats(packed.select("term", "df_part", "cum_tf_part"))
     if cache:
         stats = stats.cache()
@@ -632,4 +778,5 @@ def build_index(
         corpus=CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"])),
         hot_terms=hot,
         aux=aux_postings(docs, aux_fields) if aux_fields else None,
+        lazy=lazy,
     )
