@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide text rows make Spark's default 10k-record Arrow batches
+        # ~130 MB each — humongous G1 allocations that stall the
+        # JVM→Python feed pipeline under concurrency (measured 2.2-3.7× on
+        # the 500k-doc fused build at local[32] together with 32m regions)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -77,7 +85,8 @@ def get_spark(
         # pre-touching big heaps slows session startup for small tests.
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         builder = builder.config(
-            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m",
         )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
