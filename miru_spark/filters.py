@@ -202,6 +202,11 @@ def _flatten(tree: Node | Leaf) -> tuple[list[Clause], list[Clause], str] | None
 
     def group(n, op_hint):
         if isinstance(n, Leaf):
+            # a bare field-scoped leaf ("lang:fr") must route to the tree
+            # path — flattening it would score the VALUE as a content term
+            # instead of applying the field mask (same guard flat_leaves has)
+            if n.field != "":
+                return None
             return ([n], op_hint or "and")
         if isinstance(n, Node) and n.op in ("and", "or"):
             leaves = []

@@ -8,6 +8,11 @@ Layout under ``index_dir``:
                              query-time `term IN (...)` prunes row groups)
     stats/                   global (term, df, cum_tf)
     doclens/                 (part, doc_id, doc_key, dl, content_sha)
+    forward/wave=K/          forward index (part, doc_id, term, tf) — the
+                             reference's activity/row index
+                             (m-plugin/index/MiruActivityIndex.java), sorted
+                             by (part, doc_id) so gather-class operators
+                             semi-join it instead of decoding all postings
 
 Build = waves of doc-partitions (each wave: tokenize → flat → salted
 segments → pack → write → manifest commit), then a final merge stage that
@@ -53,6 +58,7 @@ def build_persistent(
     fail_after_wave: int | None = None,
     spread: int | None = None,
     aux_fields: list[str] | None = None,
+    forward_index: bool = True,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
     crash after that wave's commit (kill-resume tests only). ``spread`` as in
@@ -112,6 +118,17 @@ def build_persistent(
             .write.mode("overwrite")
             .parquet(f"{index_dir}/doclens/wave={wave_id}")
         )
+        if forward_index:
+            # decode the JUST-WRITTEN segments back into the forward layout
+            # (a varint decode pass — much cheaper than a third tokenize of
+            # the content); doc-sorted so gather's semi-join prunes files
+            (
+                B.unpack_postings(spark.read.parquet(f"{index_dir}/segments/wave={wave_id}"))
+                .repartition("part")
+                .sortWithinPartitions("part", "doc_id", "term")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/forward/wave={wave_id}")
+            )
         # per-partition counters (lineage): docs + segments + postings per part
         seg_counts = {
             str(r["part"]): {"n_segments": r["n_segments"], "n_postings": r["n_postings"]}
@@ -188,6 +205,9 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
     aux = None
     if os.path.isdir(os.path.join(index_dir, "aux")):
         aux = spark.read.parquet(f"{index_dir}/aux")
+    forward = None
+    if os.path.isdir(os.path.join(index_dir, "forward")):
+        forward = spark.read.parquet(f"{index_dir}/forward/wave=*")
     return B.IndexHandle(
         docs=docs,
         flat=B.unpack_postings(packed),
@@ -199,4 +219,5 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         hot_terms=[],
         lazy=True,
         aux=aux,
+        forward=forward,
     )

@@ -37,6 +37,7 @@ Scale notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from dataclasses import field as dataclass_field
 from typing import Iterator
 
 import numpy as np
@@ -51,6 +52,36 @@ DEFAULT_CAPACITY = 1_000_000  # docs per partition (Miru: "millions", README.md:
 DEFAULT_SALT_BUCKETS = 8
 DEFAULT_HOT_TERM_DF = 100_000  # per-part df above which a term is salted
 
+# fused-kernel buffered bytes per posting: int64 intern code + int32 doc_id +
+# int32 tf, plus amortized intern-dict/chunk-list overhead
+_FUSED_BYTES_PER_POSTING = 17
+
+
+def _mem_to_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def fused_capacity_limit(spark, est_terms_per_doc: int | None = None) -> int:
+    """Largest safe ``capacity`` for strategy='fused' on this session.
+
+    The fused kernel buffers ALL postings of a task's doc-partitions in
+    memory (Miru's own sizing rule: one partition's delta index fits the
+    heap). Budget = half the per-core memory; need ≈ capacity ×
+    est-unique-terms/doc × 17 B. Override the estimate with
+    SPARK_GRAFT_EST_TERMS_PER_DOC for unusually long/short documents."""
+    import os
+
+    est = est_terms_per_doc or int(os.environ.get("SPARK_GRAFT_EST_TERMS_PER_DOC", "256"))
+    conf = spark.sparkContext.getConf()
+    mem = conf.get("spark.executor.memory", None) or conf.get("spark.driver.memory", "1g")
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    budget = _mem_to_bytes(mem) // cores // 2
+    return max(1, budget // (est * _FUSED_BYTES_PER_POSTING))
+
 
 def prepare_docs(
     df: DataFrame,
@@ -59,6 +90,7 @@ def prepare_docs(
     natural_key: list[str] | None = None,
     capacity: int = DEFAULT_CAPACITY,
     n_parts: int | None = None,
+    tracker: list | None = None,
 ) -> DataFrame:
     """Attach (part, doc_id, doc_key, dl, tokens, content_sha) to source rows.
 
@@ -83,8 +115,14 @@ def prepare_docs(
             "doc_id", (gid % capacity).cast("int")
         )
     else:
-        key_cols = [F.col(c) for c in natural_key]
-        key = F.concat_ws("\x00", *key_cols)
+        # null-safe composed key: concat_ws silently DROPS nulls (so
+        # ('a', NULL) and ('a',) would collide, and a plain equi-join on the
+        # raw columns loses NULL-keyed rows outright — NULL != NULL). The
+        # \x00-prefixed marker cannot collide with a real token/aux value.
+        nk = F.concat_ws(
+            "\x00",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in natural_key],
+        )
         if n_parts is None:
             # partition count must be a function of DATA SIZE, never cluster
             # width — otherwise doc ids (and the whole index layout) change
@@ -96,11 +134,10 @@ def prepare_docs(
         # window was the one anti-scaling build phase (12.7s → 25.7s going
         # 8→32 threads at 100k rows), and the window's parallelism is capped
         # at n_parts while the join shuffle is full-width.
-        ids = (
-            df.select(*natural_key)
-            .withColumn("part", F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int"))
+        ids = df.select(nk.alias("_nk")).withColumn(
+            "part", F.pmod(F.xxhash64(F.col("_nk")), F.lit(n_parts)).cast("int")
         )
-        w = Window.partitionBy("part").orderBy(*key_cols)
+        w = Window.partitionBy("part").orderBy("_nk")
         ids = ids.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
         # doc_key = part << 32 | doc_id: collision-free regardless of hash
         # skew (a part whose row_number overruns `capacity` would collide
@@ -110,9 +147,26 @@ def prepare_docs(
         ids = ids.withColumn(
             "doc_key", F.shiftleft(F.col("part").cast("long"), 32) + F.col("doc_id")
         )
-        # tiny (keys + ids) — cache so the window runs once even when two
-        # consumers (tokenize pass, doc-meta pass) recompute the join
-        out = out.join(ids.cache(), natural_key)
+        # duplicate natural keys would join back d→d² rows with conflicting
+        # doc_keys — under the _nk ordering duplicates are window-adjacent,
+        # so detect via lag and fail loudly instead of exploding.
+        ids = ids.withColumn(
+            "_dup", F.coalesce(F.lag("_nk").over(w) == F.col("_nk"), F.lit(False))
+        )
+        # tiny (keys + ids) — cache so the window runs once across the dup
+        # check + both join consumers; tracked for IndexHandle.unpersist().
+        ids = ids.cache()
+        if tracker is not None:
+            tracker.append(ids)
+        n_dup = ids.filter(F.col("_dup")).count()
+        if n_dup:
+            raise ValueError(
+                f"natural_key {natural_key} is not unique: {n_dup} duplicate "
+                "row(s). Deduplicate the source (or add a disambiguating "
+                "column to the key) — duplicate keys would assign conflicting "
+                "doc identities."
+            )
+        out = out.withColumn("_nk", nk).join(ids.drop("_dup"), "_nk").drop("_nk")
     return out
 
 
@@ -224,8 +278,14 @@ def build_segments(
 
 PACKED_SCHEMA = (
     "part int, term string, df_part long, cum_tf_part long, "
-    "ids binary, tfs binary, block_last array<long>, block_max_tf array<long>"
+    "ids binary, tfs binary, block_last array<long>, block_max_tf array<long>, "
+    "first_id int"
 )
+# first_id = first doc id of the posting list (the last one is
+# element_at(block_last, -1)) — lets first/latest-occurrence queries
+# (MiruIndexLatest / setIfEmpty) run off packed METADATA with zero posting
+# decode, exactly like the reference's incrementally-maintained latest/first
+# bitmaps (miru-service/.../stream/MiruIndexLatest.java).
 
 # sentinel term whose posting row carries the partition's forward dl array
 # (ids = doc ids, tfs = doc lengths) — the reference's special-cell trick
@@ -338,9 +398,11 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                     pa.array(np.add.reduceat(tfs.astype(np.int64), offsets[:-1])
                              if len(doc_ids) else np.empty(0, np.int64)),
                     ids_col, tfs_col, bl_col, bm_col,
+                    pa.array(doc_ids[offsets[:-1]].astype(np.int32)
+                             if len(doc_ids) else np.empty(0, np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf"],
+                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
             )
 
         def emit_carry(c):
@@ -485,9 +547,11 @@ def packed_fused(
                     pa.array(np.array([len(dl_ids)], dtype=np.int64)),
                     pa.array(np.array([int(dl_tfs.sum())], dtype=np.int64)),
                     d_ids, d_tfs, d_bl, d_bm,
+                    pa.array(dl_ids[:1].astype(np.int32)
+                             if len(dl_ids) else np.array([0], np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf"],
+                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
             )
             terms = np.array(list(interns[p].keys()))
             # sort by (term STRING, doc_id): order must match the shuffle-sort
@@ -509,9 +573,10 @@ def packed_fused(
                     pa.array(lens.astype(np.int64)),
                     pa.array(np.add.reduceat(tfs_.astype(np.int64), offsets[:-1])),
                     ids_col, tfs_col, bl_col, bm_col,
+                    pa.array(docs_[offsets[:-1]].astype(np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf"],
+                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
             )
 
     return src.mapInArrow(_tok_pack, PACKED_SCHEMA)
@@ -544,10 +609,14 @@ def pack_segments(segments: DataFrame) -> DataFrame:
                     batch.column("df_part"),
                     batch.column("cum_tf_part"),
                     ids_col, tfs_col, bl_col, bm_col,
+                    pa.array(
+                        np.asarray(doc_ids[offsets[:-1]], dtype=np.int32)
+                        if len(doc_ids) else np.empty(len(offsets) - 1, np.int32)
+                    ),
                 ],
                 names=[
                     "part", "term", "df_part", "cum_tf_part",
-                    "ids", "tfs", "block_last", "block_max_tf",
+                    "ids", "tfs", "block_last", "block_max_tf", "first_id",
                 ],
             )
 
@@ -643,6 +712,22 @@ class IndexHandle:
     # 35-83). Kept separate from the scored content postings so BM25 stats
     # (df/cum_tf/dl) see only real tokens.
     aux: DataFrame | None = None
+    # forward index (part, doc_id, term, tf) — the reference's activity/row
+    # index (m-plugin/index/MiruActivityIndex.java) persisted by
+    # index_store.build_persistent; gather-class operators read it instead
+    # of decoding the whole postings relation on a loaded index.
+    forward: DataFrame | None = None
+    # every relation this build cached/persisted — freed by unpersist() so
+    # repeated builds in one session don't accumulate BlockManager entries
+    cached: list = dataclass_field(default_factory=list)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        for df in self.cached:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass
+        self.cached.clear()
 
 
 def aux_postings(docs: DataFrame, aux_fields: list[str]) -> DataFrame:
@@ -698,7 +783,10 @@ def build_index(
         n_parts = max(1, -(-docs_source.count() // capacity))
     if spread is None:
         spread = sc.defaultParallelism * 3
-    docs = prepare_docs(docs_source, text_col, dense_id_col, natural_key, capacity, n_parts)
+    cached: list = []
+    docs = prepare_docs(
+        docs_source, text_col, dense_id_col, natural_key, capacity, n_parts, tracker=cached
+    )
     # CONTENT IS NEVER CACHED. Caching the id-assigned source (round-1
     # design) pushed ~0.5 GB of strings through the single local-mode
     # BlockManager and anti-scaled 8→32 threads; the same columnar cache
@@ -710,6 +798,20 @@ def build_index(
     slim = docs.select("part", "doc_id", "doc_key", "content_sha")
     lazy = False
     if strategy == "fused":
+        # fail fast when the per-task posting buffer cannot fit: the fused
+        # kernel holds one doc-partition's postings in memory (the
+        # reference's own sizing rule), so capacity × postings/doc must fit
+        # the per-core budget — an OOM mid-build is strictly worse than
+        # this error. The 'sort' strategy has no such coupling.
+        cap_limit = fused_capacity_limit(docs_source.sparkSession)
+        if capacity > cap_limit:
+            raise ValueError(
+                f"strategy='fused' buffers one partition's postings per task: "
+                f"capacity={capacity} exceeds the safe limit ~{cap_limit} for "
+                f"this session's memory/cores. Lower capacity, raise executor "
+                f"memory, set SPARK_GRAFT_EST_TERMS_PER_DOC for short docs, "
+                f"or use strategy='sort' (unbounded shuffle-sort path)."
+            )
         # per-partition fused tokenize+pack (the MiruIndexer shape): one
         # content shuffle by part, zero posting shuffles. dl comes from the
         # sentinel DL_TERM posting row emitted by the kernel; flat is a
@@ -717,9 +819,19 @@ def build_index(
         # relation first (lazy=True).
         hot, segments = [], None
         packed_all = packed_fused(docs, text_col, pack_partitions)
+        # packed_all feeds ≥3 consumers (postings filter → stats/queries,
+        # the DL sentinel → doc lengths, corpus-stats action) — persist it
+        # REGARDLESS of the cache flag or the whole tokenize+pack kernel
+        # re-executes per consumer. It is compact (delta+varint binaries);
+        # MEMORY_AND_DISK so the cache=False cluster path spills rather than
+        # recomputes.
+        from pyspark import StorageLevel
+
+        packed_all = packed_all.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(packed_all)
         if cache:
             slim = slim.cache()
-            packed_all = packed_all.cache()
+            cached.append(slim)
         # the DL_TERM sentinel rows carry the forward dl array; real
         # postings exclude them (queries term-filter anyway, but full-scan
         # ops like gather must not see the sentinel)
@@ -742,6 +854,7 @@ def build_index(
         if cache:
             slim = slim.cache()
             flat = flat.cache()
+            cached.extend([slim, flat])
         meta = doc_meta(slim, flat)
         if strategy == "sort":
             # sort-based merge: shuffle-sort delivers each posting list as a
@@ -756,6 +869,7 @@ def build_index(
                 # keeps term_stats and the WAND query path from re-running
                 # the shuffle-sort pack
                 packed = packed.cache()
+                cached.append(packed)
         else:
             # hash-agg strategy with explicit hot-term salting: detection
             # only matters when a per-part list can exceed the threshold
@@ -767,6 +881,7 @@ def build_index(
     stats = term_stats(packed.select("term", "df_part", "cum_tf_part"))
     if cache:
         stats = stats.cache()
+        cached.append(stats)
     row = meta.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return IndexHandle(
         docs=docs,
@@ -779,4 +894,5 @@ def build_index(
         hot_terms=hot,
         aux=aux_postings(docs, aux_fields) if aux_fields else None,
         lazy=lazy,
+        cached=cached,
     )

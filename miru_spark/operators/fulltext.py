@@ -345,16 +345,37 @@ def gather(index: IndexHandle, winners: DataFrame, gather_cols: list[str]) -> Da
 def index_first_latest(index: IndexHandle) -> DataFrame:
     """Auxiliary latest/first occurrence per term — the reference's
     indexLatest / indexFirst bitmaps (miru-service/.../stream/
-    MiruIndexLatest.java; setIfEmpty MiruIndexPrimaryFields.java:123-129)
-    as min/max aggregates over the posting relation."""
-    return (
-        index.flat.join(index.lens, ["part", "doc_id"])
-        .groupBy("term")
-        .agg(
-            F.min("doc_key").alias("first_doc"),
-            F.max("doc_key").alias("latest_doc"),
-            F.count(F.lit(1)).alias("df"),
-        )
+    MiruIndexLatest.java; setIfEmpty MiruIndexPrimaryFields.java:123-129).
+
+    Computed entirely from packed METADATA: within a part the posting list
+    is doc-id-sorted, so first = ``first_id`` and latest =
+    ``element_at(block_last, -1)`` — zero posting decode on loaded indexes
+    (the reference likewise maintains these incrementally at build time,
+    never by scanning the primary index). Only the 2 endpoint rows per
+    (part, term) join the doc-key relation."""
+    ends = index.packed.select(
+        "term",
+        "df_part",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("is_first"),
+                    F.col("part").alias("part"),
+                    F.col("first_id").alias("doc_id"),
+                ),
+                F.struct(
+                    F.lit(0).alias("is_first"),
+                    F.col("part").alias("part"),
+                    F.element_at("block_last", -1).cast("int").alias("doc_id"),
+                ),
+            )
+        ).alias("e"),
+    ).select("term", "df_part", "e.is_first", "e.part", "e.doc_id")
+    joined = ends.join(index.lens.select("part", "doc_id", "doc_key"), ["part", "doc_id"])
+    return joined.groupBy("term").agg(
+        F.min(F.when(F.col("is_first") == 1, F.col("doc_key"))).alias("first_doc"),
+        F.max(F.when(F.col("is_first") == 0, F.col("doc_key"))).alias("latest_doc"),
+        F.sum(F.col("df_part") * F.col("is_first")).alias("df"),
     )
 
 
@@ -362,10 +383,25 @@ def gather_terms(index: IndexHandle, match_term: str) -> DataFrame:
     """Gather: distinct co-occurring terms (with doc counts) over the doc set
     matching ``match_term`` — MiruAggregateUtil.gatherActivityLookup
     (miru-plugin/.../solution/MiruAggregateUtil.java:681-768) as a semi-join
-    + groupBy instead of batched bitmap AND-NOT walks."""
+    + groupBy instead of batched bitmap AND-NOT walks.
+
+    The reference gathers from the FORWARD (activity) index, never the
+    postings: with a persisted index we read the forward artifact
+    (index_store ``forward/``); without one on a loaded index we at least
+    prune the decode to the partitions containing matches instead of
+    unpacking the whole corpus."""
     matched = postings_for_terms(index, [match_term]).select("part", "doc_id")
+    if index.forward is not None:
+        src = index.forward
+    elif index.lazy:
+        from miru_spark.operators.build import unpack_postings
+
+        parts = sorted(r["part"] for r in matched.select("part").distinct().collect())
+        src = unpack_postings(index.packed.filter(F.col("part").isin(parts)))
+    else:
+        src = index.flat
     return (
-        index.flat.join(matched, ["part", "doc_id"], "left_semi")
+        src.join(matched, ["part", "doc_id"], "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
