@@ -79,6 +79,34 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QUERY_VEC_CACHE[sf_dir]
 
 
+def _loaded_index(spark: SparkSession, sf_dir: str):
+    """A PERSISTED index built via index_store.build_persistent and reopened
+    with load_index — the lazy/loaded query path (term-pruned packed decode,
+    metadata first/latest, forward-index gather). Resumable: a rerun over
+    the same fingerprint skips completed waves."""
+    key = f"{id(spark)}:{sf_dir}:loaded"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from miru_spark.index_store import build_persistent, load_index
+
+        _ship_package(spark)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        idx_dir = os.path.join(tempfile.gettempdir(), f"miru_idx_{tag}")
+        build_persistent(
+            _docs(spark, sf_dir),
+            idx_dir,
+            text_col="text",
+            dense_id_col="doc_id",
+            capacity=128,
+            wave_size=16,
+            hot_df_threshold=64,
+            salt_buckets=4,
+        )
+        _INDEX_CACHE[key] = load_index(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-k + stored-field gather on sf0.001."""
     idx = _index(spark, "/root/testdata/sf0.001")
@@ -89,18 +117,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Full-text query set (FIXTURES.md §2 shape: single/AND/OR/NOT/prefix, both
 # scorers). k=100 > matching-doc count at sf0.01 is fine — LIMIT still binds.
+#
+# The driver gates at most 50 queries() entries, so the set below is pruned
+# to EXACTLY 50 unique operators (round-2 lesson: 4 overflow queries went
+# ungated). Retired redundant variants — still covered by tests/ and by the
+# surviving entries exercising the same code path: bm25_single_rare /
+# bm25_and2 / bm25_and_prefix (same flat paths as single_common / and3 /
+# prefix), fulltext_bm25_or + tfidf_or (flat-OR path gated via
+# fulltext_bm25_timerange's "spark OR join"), bm25_and3_wand (AND kernel
+# gated in tests/test_wand.py; or_wand + ornot_wand keep the WAND engine
+# gated), uniques_users (same count_distinct primitive as
+# distinct_count_error_users), aggregate_counts_by_type (strict subset of
+# aggregate_counts_full).
 # ---------------------------------------------------------------------------
 _FULLTEXT = {
     "fulltext_bm25_single_common": ("spark", "bm25"),
-    "fulltext_bm25_single_rare": ("dup", "bm25"),
-    "fulltext_bm25_and2": ("spark AND join", "bm25"),
     "fulltext_bm25_and3": ("spark join merge", "bm25"),
-    "fulltext_bm25_or": ("spark OR vector OR dup", "bm25"),
     "fulltext_bm25_andnot": ("merge NOT window", "bm25"),
     "fulltext_bm25_prefix": ("s*", "bm25"),
-    "fulltext_bm25_and_prefix": ("dup AND s*", "bm25"),
     "fulltext_tfidf_single": ("spark", "miru_tfidf"),
-    "fulltext_tfidf_or": ("spark OR join", "miru_tfidf"),
 }
 
 # nested / field-scoped / masked query set (round 2): every spec carries a
@@ -161,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path with pre-admission negation (bare "a OR b NOT c" would nest as
     # a OR (b NOT c) under the precedence grammar)
     q["fulltext_bm25_ornot_wand"] = _ft_wand_query("(merge OR join) NOT window")
-    q["fulltext_bm25_and3_wand"] = _ft_wand_query("spark join merge")
     # aux field dictionary scan (Distincts.java:96-99 over a named field)
     q["distincts_field_lang"] = lambda s, d: (
         _index(s, d).aux.filter(F.col("term").startswith("lang:")).select("term").distinct()
@@ -180,8 +214,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("doc_key").alias("doc"), F.col("content_sha").alias("sha")
     )
 
+    # first/latest + gather, on the in-memory build AND on a PERSISTED index
+    # loaded from disk (the loaded variants prove the no-decode metadata path
+    # and the forward-index gather — round-2's scale-killer full unpack)
     q["index_first_latest"] = lambda s, d: fulltext.index_first_latest(_index(s, d))
+    q["index_first_latest_loaded"] = lambda s, d: fulltext.index_first_latest(
+        _loaded_index(s, d)
+    )
     q["gather_terms_spark"] = lambda s, d: fulltext.gather_terms(_index(s, d), "spark")
+    q["gather_terms_loaded"] = lambda s, d: fulltext.gather_terms(
+        _loaded_index(s, d), "spark"
+    )
+
+    # training-data operators that fell outside round 2's gated window —
+    # inserted early so the whole similarity/langid surface stays checked
+    q["text_langid"] = lambda s, d: textstats.langid_lite(_docs(s, d), "doc_id", "text")
+    q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _emb(s, d), "vec_id", "embedding", _query_vec(s, d), k=50
+    )
+    # threshold 0.45 is set from the fixture's actual cosine distribution
+    # (max pairwise 0.51; 14 pairs ≥0.45 at sf0.01) so the gate checks a
+    # NON-EMPTY truth set — 0.95 matched nothing and proved nothing.
+    q["embedding_neardup_pairs"] = lambda s, d: similarity.cosine_pairs(
+        _emb(s, d), "vec_id", "embedding", threshold=0.45
+    )
+    q["embedding_lsh_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
+        _emb(s, d), "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=24
+    )
+
+    # valueBits index family (MiruFieldType.valueBits / MiruIndexValueBits):
+    # Σ value per group reconstructed from the bit-sliced posting lists
+    q["value_bits_sum"] = lambda s, d: analytics.value_bits_sum(
+        _events(s, d), "event_type", "user_id"
+    )
+    # Anomaly.metricingAvg (Anomaly.java:36-99): long-division bucket
+    # averages via the bit-sliced sum, zero-raw buckets linearly interpolated
+    q["anomaly_metricing_avg"] = lambda s, d: analytics.anomaly_metricing_avg(
+        _events(s, d), "ts", "user_id", F.col("event_type") == "error", "hour"
+    )
 
     # context operators (SURVEY.md §2.5) over events / lineitem
     q["time_range_mask"] = lambda s, d: analytics.time_range_mask(
@@ -190,12 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distincts_event_types"] = lambda s, d: analytics.distinct_values(
         _events(s, d), "event_type"
     )
-    q["uniques_users"] = lambda s, d: analytics.uniques(_events(s, d), "user_id")
     q["distinct_count_error_users"] = lambda s, d: analytics.distinct_count(
         _events(s, d), "user_id", F.col("event_type") == "error"
-    )
-    q["aggregate_counts_by_type"] = lambda s, d: analytics.aggregate_counts(
-        _events(s, d), "event_type", "ts"
     )
     # full AggregateCounts surface: latest/oldest doc gather per group
     # (AggregateCounts.java:260-299) + keyset pagination (resumable report)
@@ -286,19 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: textstats.quality(_docs(s, d), "doc_id", "text")
     q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text")
     q["doc_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d), "doc_id", "text")
-    q["text_langid"] = lambda s, d: textstats.langid_lite(_docs(s, d), "doc_id", "text")
-    q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk(
-        _emb(s, d), "vec_id", "embedding", _query_vec(s, d), k=50
-    )
-    # threshold 0.45 is set from the fixture's actual cosine distribution
-    # (max pairwise 0.51; 14 pairs ≥0.45 at sf0.01) so the gate checks a
-    # NON-EMPTY truth set — 0.95 matched nothing and proved nothing.
-    q["embedding_neardup_pairs"] = lambda s, d: similarity.cosine_pairs(
-        _emb(s, d), "vec_id", "embedding", threshold=0.45
-    )
-    q["embedding_lsh_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
-        _emb(s, d), "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=24
-    )
+    assert len(q) == 50, f"driver gates 50 queries; got {len(q)}"
     return q
 
 
@@ -320,9 +374,6 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fulltext_bm25_ornot_wand"] = oracles.fulltext_topk_sql(
         parse_query("(merge OR join) NOT window", k=100)
-    )
-    o["fulltext_bm25_and3_wand"] = oracles.fulltext_topk_sql(
-        parse_query("spark join merge", k=100)
     )
     o["distincts_field_lang"] = (
         "SELECT DISTINCT 'lang:' || lower(lang) AS term FROM documents"
@@ -352,6 +403,14 @@ SELECT term, count(*) AS n_docs
 FROM tf WHERE doc_id IN (SELECT doc_id FROM matched)
 GROUP BY term
 """
+    # loaded-index variants answer the SAME questions from the persisted
+    # artifacts — identical oracles
+    o["index_first_latest_loaded"] = o["index_first_latest"]
+    o["gather_terms_loaded"] = o["gather_terms_spark"]
+    o["value_bits_sum"] = oracles.value_bits_sum_sql("events", "event_type", "user_id")
+    o["anomaly_metricing_avg"] = oracles.anomaly_metricing_sql(
+        "events", "ts", "user_id", "event_type = 'error'", "hour"
+    )
     o["time_range_mask"] = """
 SELECT event_type AS group_value, count(*) AS n
 FROM events
@@ -359,11 +418,9 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00
 GROUP BY 1
 """
     o["distincts_event_types"] = oracles.distinct_values_sql("events", "event_type")
-    o["uniques_users"] = oracles.uniques_sql("events", "user_id")
     o["distinct_count_error_users"] = oracles.distinct_count_sql(
         "events", "user_id", "event_type = 'error'"
     )
-    o["aggregate_counts_by_type"] = oracles.aggregate_counts_sql("events", "event_type", "ts")
     # composite HUGEINT key = (ts, doc) lexicographic tie-break (DuckDB's
     # max_by takes no struct ordering; margin covers event_id < 1e8)
     _by = "CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id"

@@ -251,6 +251,124 @@ def bloom_maybe_contains(
     )
 
 
+def _bit_slices(df: DataFrame, value_col: str, n_bits: int, *keep: Column) -> DataFrame:
+    """(…keep, bit) rows: one row per set bit of the (nonnegative integer)
+    value — the bit-slicing step of the valueBits index family. JVM-side:
+    one explode + filter, codegen-friendly."""
+    v = F.col(value_col).cast("long")
+    bits = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bit"), (v.bitwiseAND(F.lit(1 << b)) != 0).alias("is_set")
+            )
+            for b in range(n_bits)
+        ]
+    )
+    exploded = df.select(*keep, F.explode(bits).alias("x"))
+    keep_names = exploded.columns[:-1]  # keep exprs were just projected
+    return exploded.filter(F.col("x.is_set")).select(
+        *keep_names, F.col("x.bit").alias("bit")
+    )
+
+
+def value_bits_index(df: DataFrame, value_col: str, doc_col: str, n_bits: int = 32) -> DataFrame:
+    """Bit-sliced value index — the fifth per-field index family,
+    MiruFieldType.valueBits (m-api/.../field/MiruFieldType.java:15), built by
+    MiruIndexValueBits.compose (m-service/.../stream/MiruIndexValueBits.java:
+    53-91): one posting list per bit position holding the docs whose (single)
+    field value has that bit set. The reference slices the value's packed
+    BYTES (ValueBitsIndex.packValue); we slice the nonnegative integer
+    value's binary representation — same index algebra, simpler term space
+    (documented delta). Output: (bit, doc) posting rows."""
+    return _bit_slices(df, value_col, n_bits, F.col(doc_col).alias("doc"))
+
+
+def value_bits_sum(
+    df: DataFrame, group_field: str, value_col: str, n_bits: int = 32
+) -> DataFrame:
+    """Σ value per group reconstructed FROM the bit-sliced index:
+    Σ_b 2^b · |{docs in group with bit b set}| — exactly the Anomaly plugin's
+    sum() over valueBits answer bitmaps (miru-anomaly-plugins/.../
+    Anomaly.java:102-130, multiplier = 1L << i). Oracle-gated against a
+    direct SQL sum, which proves the slicing correct."""
+    sl = _bit_slices(df, value_col, n_bits, F.col(group_field).alias("group_value"))
+    counts = sl.groupBy("group_value", "bit").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("group_value").agg(
+        F.sum(F.expr("n * shiftleft(CAST(1 AS BIGINT), bit)")).alias("total")
+    )
+
+
+def anomaly_metricing_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    predicate: Column,
+    bucket: str = "hour",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Anomaly.metricingAvg (miru-anomaly-plugins/.../Anomaly.java:36-99):
+    per time bucket, waveform = bit-sliced Σ value over the answer set
+    (sum(), :102-130 — computed here from the valueBits slices), divided by
+    the bucket's raw cardinality with LONG division (:63, :90); buckets with
+    raw cardinality 0 are LINEARLY interpolated between the neighboring
+    defined buckets and truncated to long (:85-96), with flat extension past
+    the edges (the knots at x=-1 / x=len, :80-83). Bucket grid = every
+    bucket between min(ts) and max(ts) of the stream (the reference's
+    query-range segment grid) — the grid is query-sized (N segments), so the
+    single-partition interpolation window is bounded by construction."""
+    spark = df.sparkSession
+    bcol = F.date_trunc(bucket, F.col(ts_col))
+    lohi = df.agg(F.min(bcol).alias("lo"), F.max(bcol).alias("hi")).collect()[0]
+    step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[bucket]
+    grid = spark.sql(
+        f"SELECT explode(sequence(TIMESTAMP '{lohi['lo']}', "
+        f"TIMESTAMP '{lohi['hi']}', {step})) AS bucket"
+    )
+    hits = df.filter(predicate).withColumn("bucket", bcol)
+    raw = hits.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw"))
+    sums = (
+        _bit_slices(hits, value_col, n_bits, F.col("bucket"))
+        .groupBy("bucket", "bit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("bucket")
+        .agg(F.sum(F.expr("n * shiftleft(CAST(1 AS BIGINT), bit)")).alias("s"))
+    )
+    g = (
+        grid.join(raw, "bucket", "left")
+        .join(sums, "bucket", "left")
+        .withColumn("raw", F.coalesce("raw", F.lit(0)))
+        .withColumn("s", F.coalesce("s", F.lit(0)))
+    )
+    w = Window.orderBy("bucket")
+    g = (
+        g.withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("py", F.when(F.col("raw") > 0, F.expr("s DIV raw")))
+        .withColumn("px", F.when(F.col("raw") > 0, F.col("i")))
+    )
+    wp = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    g = (
+        g.withColumn("prev_y", F.last("py", ignorenulls=True).over(wp))
+        .withColumn("prev_x", F.last("px", ignorenulls=True).over(wp))
+        .withColumn("next_y", F.first("py", ignorenulls=True).over(wn))
+        .withColumn("next_x", F.first("px", ignorenulls=True).over(wn))
+    )
+    # op order mirrors the DuckDB oracle exactly: y0 + dy * (dx_frac)
+    interp = F.floor(
+        F.col("prev_y")
+        + (F.col("next_y") - F.col("prev_y"))
+        * ((F.col("i") - F.col("prev_x")) / (F.col("next_x") - F.col("prev_x")))
+    )
+    avg = (
+        F.when(F.col("raw") > 0, F.col("py"))
+        .when(F.col("prev_y").isNull() & F.col("next_y").isNull(), F.col("s"))
+        .when(F.col("prev_y").isNull(), F.col("next_y"))
+        .when(F.col("next_y").isNull(), F.col("prev_y"))
+        .otherwise(interp)
+    )
+    return g.select("bucket", avg.cast("long").alias("avg_v"))
+
+
 def time_range_mask(
     df: DataFrame, ts_col: str, lo: str, hi: str, group_field: str
 ) -> DataFrame:

@@ -335,6 +335,65 @@ SELECT bucket, hits, total, round(hits * 1.0 / total, 6) AS rate FROM (
 """
 
 
+def value_bits_sum_sql(table: str, group_field: str, value_col: str) -> str:
+    """Direct per-group sum — the engine reconstructs the same number from
+    the bit-sliced valueBits index (Σ_b 2^b · count), so equality proves the
+    slicing correct."""
+    return (
+        f"SELECT {group_field} AS group_value, "
+        f"CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS total "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+def anomaly_metricing_sql(
+    table: str, ts_col: str, value_col: str, predicate: str, bucket: str = "hour"
+) -> str:
+    """Anomaly.metricingAvg semantics (Anomaly.java:36-99): long-division
+    bucket averages over a dense bucket grid, zero-raw buckets linearly
+    interpolated (flat edge extension), truncated to long. Op order of the
+    interpolation expression mirrors analytics.anomaly_metricing_avg."""
+    step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[bucket]
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('{bucket}', min({ts_col})) AS lo,
+         date_trunc('{bucket}', max({ts_col})) AS hi FROM {table}
+),
+grid AS (SELECT unnest(generate_series(lo, hi, {step})) AS bucket FROM bounds),
+g2 AS (SELECT bucket, row_number() OVER (ORDER BY bucket) - 1 AS i FROM grid),
+h AS (
+  SELECT date_trunc('{bucket}', {ts_col}) AS b, count(*) AS raw,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS s
+  FROM {table} WHERE {predicate} GROUP BY 1
+),
+j AS (
+  SELECT i, bucket, coalesce(raw, 0) AS raw, coalesce(s, 0) AS s
+  FROM g2 LEFT JOIN h ON h.b = g2.bucket
+),
+k AS (
+  SELECT *, CASE WHEN raw > 0 THEN s // raw END AS py,
+            CASE WHEN raw > 0 THEN i END AS px FROM j
+),
+m AS (
+  SELECT *,
+    last_value(py IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_y,
+    last_value(px IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
+    first_value(py IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_y,
+    first_value(px IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+  FROM k
+)
+SELECT bucket,
+  CAST(CASE WHEN raw > 0 THEN py
+            WHEN prev_y IS NULL AND next_y IS NULL THEN s
+            WHEN prev_y IS NULL THEN next_y
+            WHEN next_y IS NULL THEN prev_y
+            ELSE CAST(floor(prev_y + (next_y - prev_y) *
+                 ((i - prev_x) / CAST(next_x - prev_x AS DOUBLE))) AS BIGINT)
+       END AS BIGINT) AS avg_v
+FROM m
+"""
+
+
 def trending_peaks_sql(
     table: str, ts_col: str, group_field: str, bucket: str = "hour",
     delta: float = 1.0,
