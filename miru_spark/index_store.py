@@ -59,10 +59,23 @@ def build_persistent(
     spread: int | None = None,
     aux_fields: list[str] | None = None,
     forward_index: bool = True,
+    schema=None,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
     crash after that wave's commit (kill-resume tests only). ``spread`` as in
-    build_index (tokenize-stage parallelism; 0 keeps the source layout)."""
+    build_index (tokenize-stage parallelism; 0 keeps the source layout).
+    ``schema`` (miru_spark.schema.MiruSchema) drives text/aux field selection
+    as in build_index."""
+    if schema is not None:
+        missing = [f.name for f in schema.fields if f.name not in docs_source.columns]
+        if missing:
+            raise ValueError(
+                f"schema {schema.name} v{schema.version} fields missing from "
+                f"source: {missing}"
+            )
+        text_col = schema.text_field()
+        if aux_fields is None:
+            aux_fields = schema.aux_fields()
     spark = docs_source.sparkSession
     n_parts = None
     if natural_key is not None:

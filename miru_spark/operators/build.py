@@ -765,6 +765,7 @@ def build_index(
     strategy: str = "sort",
     aux_fields: list[str] | None = None,
     pack_partitions: int | None = None,
+    schema=None,
 ) -> IndexHandle:
     """``strategy``: 'sort' (default — shuffle-sort streaming pack) or
     'hash_agg' (collect_list + explicit hot-term salting; byte-identical
@@ -775,7 +776,22 @@ def build_index(
     repartition is exempt from AQE partition coalescing, which otherwise
     shrinks the (CPU-bound, Python-side) tokenize stage to a handful of
     tasks on small-file inputs — measured 3.5× on the bench corpus. At
-    cluster scale with wide inputs, pass spread=0."""
+    cluster scale with wide inputs, pass spread=0.
+
+    ``schema``: a miru_spark.schema.MiruSchema — when given it DRIVES field
+    selection (text_col = the cardinality field, aux_fields = indexed
+    single-term fields) and validates that every schema field exists in the
+    source, mirroring the reference's registered-schema contract."""
+    if schema is not None:
+        missing = [f.name for f in schema.fields if f.name not in docs_source.columns]
+        if missing:
+            raise ValueError(
+                f"schema {schema.name} v{schema.version} fields missing from "
+                f"source: {missing}"
+            )
+        text_col = schema.text_field()
+        if aux_fields is None:
+            aux_fields = schema.aux_fields()
     sc = docs_source.sparkSession.sparkContext
     n_parts = None
     if natural_key is not None:

@@ -102,25 +102,58 @@ def lsh_cosine_pairs(
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH-bucketed near-dup pairs, exact-verified.
+    """LSH-bucketed near-dup pairs, exact-verified — the scale path.
 
     n_tables independent sign-LSH tables; candidates = pairs sharing a bucket
     in any table; every candidate re-scored exactly. Recall < 1 (tested
     against cosine_pairs in the suite); precision exact.
+
+    Both numeric stages are Arrow-batched numpy (one (batch × T·P-planes)
+    matmul for bucketing, one row-wise dot for the verify) — the
+    per-element Catalyst lambda folds cost ~20M interpreter calls at 5k
+    vectors (18 s at sf0.1); the matmul form is the shape that survives
+    10^9 vectors. The exact brute operator above keeps the ordered-fold
+    floats (it is the SQL-oracle path); this candidate path is rows-gated.
     """
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tables.append(
-            F.struct(
-                F.lit(t).alias("table"), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    all_planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (T, P, dim)
+    flat_planes = np.ascontiguousarray(all_planes.reshape(-1, dim))  # (T*P, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    T = n_tables
+
+    def _vectors(col, n):
+        # embedding list<float> → (n, dim) float64, zero-copy-ish
+        return np.asarray(col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray)
+                          else col.flatten(), dtype=np.float64).reshape(n, dim)
+
+    def bucketize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs = _vectors(batch.column(1), n)
+            proj = vecs @ flat_planes.T  # (n, T*P)
+            bits = (proj > 0).reshape(n, T, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, T)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, T)),
+                    pa.array(np.tile(np.arange(T, dtype=np.int32), n)),
+                    pa.array(buckets.reshape(-1)),
+                ],
+                names=["vec", "table", "bucket"],
             )
-        )
-    bucketed = emb.select(
-        F.col(id_col).alias("vec"), F.col(vec_col).alias("e"), F.explode(F.array(*tables)).alias("tb")
-    ).select("vec", "e", "tb.table", "tb.bucket")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+
+    bucketed = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
+        bucketize, "vec long, table int, bucket long"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
             b,
@@ -128,21 +161,31 @@ def lsh_cosine_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec") < F.col("b.vec")),
         )
-        .select(
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-            F.col("a.e").alias("ea"),
-            F.col("b.e").alias("eb"),
-        )
+        .select(F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return (
-        cand.select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    e_a = emb.select(F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("ea"))
+    e_b = emb.select(F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = cand.join(e_a, "vec_a").join(e_b, "vec_b")
+
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = batch.column("vec_a").to_numpy(zero_copy_only=False)
+            vb = batch.column("vec_b").to_numpy(zero_copy_only=False)
+            ea = _vectors(batch.column("ea"), n)
+            eb = _vectors(batch.column("eb"), n)
+            cos = np.round(
+                (ea * eb).sum(axis=1)
+                / (np.sqrt((ea * ea).sum(axis=1)) * np.sqrt((eb * eb).sum(axis=1))),
+                6,
+            )
+            keep = cos >= threshold
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(va[keep]), pa.array(vb[keep]), pa.array(cos[keep])],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+
+    return pairs.mapInArrow(verify, "vec_a long, vec_b long, cosine double")
