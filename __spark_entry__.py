@@ -177,7 +177,9 @@ def _ft_spec_query(q: str, scorer: str = "bm25", k: int = 100, time_range=None, 
 
 def _ft_wand_query(q: str, scorer: str = "bm25", k: int = 100):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return wand_ops.wand_topk(_index(spark, sf_dir), q, k=k, scorer=scorer)
+        # kernel pinned to "wand": these entries GATE the block-max WAND
+        # kernel itself (auto would pick the vectorized TAAT at this scale)
+        return wand_ops.wand_topk(_index(spark, sf_dir), q, k=k, scorer=scorer, kernel="wand")
 
     return run
 

@@ -158,7 +158,7 @@ def run_suite() -> dict:
     _t("q_nested_bool", lambda: fulltext.top_k(
         idx, parse_query("spark AND (join OR merge) NOT window", k=100)).collect())
     _t("q_wand_or", lambda: wand_ops.wand_topk(
-        idx, "spark OR vector OR dup", k=100).collect())
+        idx, "spark OR vector OR dup", k=100, kernel="wand").collect())
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     _t("q_waveform", lambda: analytics.waveform(events, "ts", "event_type", "hour").collect())
@@ -253,9 +253,15 @@ def _scaling_cluster_child(workers: int, cores_per: int, n_rows: int) -> None:
         shuffle_partitions=32,
         extra_conf={
             "spark.executor.memory": f"{mem_mb - 1024}m",
-            # executors are fresh JVMs per leg: pre-touch + 32m G1 regions
-            # (same rationale as the driver PREALLOC path)
-            "spark.executor.extraJavaOptions": "-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m",
+            # ActiveProcessorCount pins each executor JVM's GC/JIT thread
+            # pools to ITS core slice — without it every one of the W JVMs
+            # sizes threads for all 32 visible CPUs and the box thrashes at
+            # load ~2× core count (measured: the 8x4 leg ran SLOWER than
+            # 2x4). Pre-touch + 32m G1 regions as in the driver PREALLOC.
+            "spark.executor.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores_per} "
+                "-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m"
+            ),
         },
     )
     warm = build_index(

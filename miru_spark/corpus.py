@@ -69,7 +69,12 @@ def row_record(i: int, seed: int = SEED) -> dict[str, str]:
     rng = np.random.Generator(np.random.PCG64([seed, i]))
     repo = f"org{i % 7}/repo{i % 97}"
     lang = LANGS[int(rng.choice(len(LANGS), p=LANG_WEIGHTS))]
-    name = f"file{int(rng.integers(0, 10_000)):04d}"
+    # the row index rides the filename so (repo, path) is globally UNIQUE —
+    # at 500k rows the old 10k-filename draw birthday-collided (~74 dups)
+    # and duplicate natural keys are a data bug for an indexer keyed on
+    # them (prepare_docs now rejects them loudly). The rng draw stays so
+    # the other per-row draws keep their round-2 values.
+    name = f"file{int(rng.integers(0, 10_000)):04d}_{i}"
     path = f"src/dir{int(rng.integers(0, 50)):02d}/{name}.{LANG_EXT[lang]}"
     commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()[:40]
 

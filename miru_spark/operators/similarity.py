@@ -80,18 +80,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id from random hyperplanes — Catalyst-only: one dot
-    product per plane via ordered fold, bits assembled into a long."""
-    acc = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        lit_p = F.array(*[F.lit(float(x)) for x in p])
-        acc = acc + F.when(_dot(vec_col, lit_p) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0)
-        )
-    return acc
-
-
 def lsh_cosine_pairs(
     emb: DataFrame,
     id_col: str,

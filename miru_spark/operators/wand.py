@@ -29,7 +29,7 @@ reference's per-partition bitmaps, independent of corpus size.
 from __future__ import annotations
 
 import heapq
-from typing import Iterable
+import os
 
 import numpy as np
 import pandas as pd
@@ -40,6 +40,10 @@ from miru_spark import codec
 from miru_spark.filters import QuerySpec, parse_query
 from miru_spark.operators.build import IndexHandle
 from miru_spark.operators.fulltext import K1, B, expand_clauses, expand_negatives
+
+# kernel='auto' switches TAAT → WAND above this many decoded postings per
+# partition (see the measured rationale at the auto branch in wand_topk)
+_TAAT_CUTOFF = int(os.environ.get("SPARK_GRAFT_TAAT_CUTOFF", "8000000"))
 
 
 def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: int, avgdl: float,
@@ -326,10 +330,23 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
                                  "score": pd.Series([], dtype="float64")})
         if op == "and":
             docs, scores = _kernel_and(pos_terms, required, dl_arr, sc, n_docs, avgdl, kk)
-        elif kern == "taat" or (kern == "auto" and sc != "bm25"):
-            docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
-        else:  # 'wand' or auto → block-max WAND for OR/bm25
+        elif kern == "wand":
             docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
+        elif kern == "taat" or sc != "bm25":
+            docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
+        else:
+            # auto: on this numpy substrate the dense-accumulator TAAT scan
+            # beats the Python pivot loop by ~40× until posting volume is
+            # enormous (measured, BENCH/wand_profile_{1M,4M}.json: 1M docs /
+            # 450k postings → TAAT 0.024 s vs WAND 1.0 s; 4M/1.8M → 0.26 s
+            # vs 3.8 s; identical top-k). WAND's skipping only pays once a
+            # partition's decoded postings exceed the cutoff — per-partition
+            # state stays O(capacity) either way.
+            total_postings = sum(len(t.ids) for t in pos_terms)
+            if total_postings <= _TAAT_CUTOFF:
+                docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
+            else:
+                docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
         if not len(docs):
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
