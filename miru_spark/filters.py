@@ -84,6 +84,12 @@ class QuerySpec:
     # FullTextQuery.constraintsFilter: extra ANDed field masks
     # (FullTextCustomQuestion.askLocal:89-114)
     constraints: list[Leaf] = field(default_factory=list)
+    # authz expression: the composite (OR) of per-label authz posting sets,
+    # ANDed into the answer like the reference's authz mask
+    # (FullTextCustomQuestion.java:105-107, LabAuthzIndex.getCompositeAuthz
+    # :80-86). None = no authz filtering; [] = NOT_PROVIDED, sees nothing.
+    # Labels resolve against the aux field named "authz".
+    authz: list[str] | None = None
 
 
 _LEX = re.compile(r"\(|\)|[^\s()]+")

@@ -738,14 +738,30 @@ def aux_postings(docs: DataFrame, aux_fields: list[str]) -> DataFrame:
     m-api/activity/schema/MiruFieldDefinition.java:59-113). The ':' separator
     cannot occur in a content token ([a-z0-9_']+), so the namespaces never
     collide. No tokenization, no tf — one row per (doc, field)."""
-    parts = [
-        docs.select(
-            "part",
-            "doc_id",
-            F.concat(F.lit(f + ":"), F.lower(F.col(f).cast("string"))).alias("term"),
-        )
-        for f in aux_fields
-    ]
+    from pyspark.sql.types import ArrayType
+
+    parts = []
+    for f in aux_fields:
+        if isinstance(docs.schema[f].dataType, ArrayType):
+            # multi-valued aux field (multiTerm / authz label arrays): one
+            # composite-term row per value — the reference's per-label authz
+            # posting lists (m-plugin/index/MiruAuthzIndex.java) and
+            # multiTerm primary indexes share this shape
+            parts.append(
+                docs.select("part", "doc_id", F.explode(F.col(f)).alias("_v")).select(
+                    "part",
+                    "doc_id",
+                    F.concat(F.lit(f + ":"), F.lower(F.col("_v").cast("string"))).alias("term"),
+                )
+            )
+        else:
+            parts.append(
+                docs.select(
+                    "part",
+                    "doc_id",
+                    F.concat(F.lit(f + ":"), F.lower(F.col(f).cast("string"))).alias("term"),
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

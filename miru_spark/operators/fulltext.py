@@ -235,6 +235,18 @@ def _apply_masks(index: IndexHandle, scored: DataFrame, spec: QuerySpec) -> Data
         out = out.join(
             leaf_doc_set(index, c, spec.max_expansion), ["part", "doc_id"], "left_semi"
         )
+    if spec.authz is not None:
+        # composite authz = OR of the per-label posting sets, ANDed into the
+        # answer (LabAuthzIndex.getCompositeAuthz:80-86; askLocal:105-107);
+        # an empty expression (NOT_PROVIDED) sees nothing
+        if not spec.authz:
+            return out.limit(0)
+        mask = leaf_doc_set(index, Leaf(spec.authz[0].lower(), "authz"), spec.max_expansion)
+        for v in spec.authz[1:]:
+            mask = mask.unionByName(
+                leaf_doc_set(index, Leaf(v.lower(), "authz"), spec.max_expansion)
+            )
+        out = out.join(mask.distinct(), ["part", "doc_id"], "left_semi")
     return out
 
 

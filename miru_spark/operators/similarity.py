@@ -80,6 +80,94 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 50,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer →
+    per-centroid posting lists → probe the ``nprobe`` centroids nearest the
+    query and run exact cosine only inside them.
+
+    The scale shape for 10^9+ vectors: the scan touches ~nprobe/n_centroids
+    of the corpus, and the assignment table is an inverted index keyed by
+    centroid (partition/bucket by centroid at write time on a real
+    deployment). Centroids are trained on a deterministic hash-sample with
+    seeded k-means (numpy, driver-side — the sample is tiny); assignment is
+    one Arrow-batched matmul. ``nprobe == n_centroids`` degrades to exact
+    brute force (asserted in tests). Approximate → rows-gated, recall
+    tested against cosine_topk."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+
+    # deterministic sample: hash-pick ~`sample` ids, collect, k-means
+    total = emb.count()
+    frac_mod = max(1, total // sample)
+    sampled = (
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sampled], dtype=np.float64)
+    if len(X) < n_centroids:
+        X = np.vstack([X] * (n_centroids // max(1, len(X)) + 1))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_iters):  # spherical k-means (cosine geometry)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ cn.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    probe = np.argsort(-(q / max(np.linalg.norm(q), 1e-12)) @ cn.T)[:nprobe]
+    probe_set = set(int(c) for c in probe)
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vecs = np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            assign = (vn @ cn.T).argmax(axis=1)
+            keep = np.isin(assign, list(probe_set))
+            if not keep.any():
+                continue
+            kept = vecs[keep]
+            cos = np.round(
+                (kept @ q)
+                / (np.linalg.norm(kept, axis=1) * max(np.linalg.norm(q), 1e-12)),
+                6,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep]), pa.array(cos)], names=["vec", "cosine"]
+            )
+
+    scanned = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
+        scan, "vec long, cosine double"
+    )
+    return scanned.orderBy(F.desc("cosine"), F.desc("vec")).limit(k)
+
+
 def lsh_cosine_pairs(
     emb: DataFrame,
     id_col: str,

@@ -57,3 +57,24 @@ def test_simhash_pairs_cover_exact_dups(spark):
     )
     pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).toPandas()
     assert (1, 2) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_ivf_topk_recall_and_full_probe(spark, emb):
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding",
+        [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]],
+        k=50,
+    ).toPandas()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    truth = set(exact["vec"])
+    # full probe (nprobe == n_centroids) scans everything → recall ≈ 1
+    full = similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=50, n_centroids=16, nprobe=16
+    ).toPandas()
+    assert len(set(full["vec"]) & truth) / len(truth) >= 0.95
+    # nprobe=4 scans ~1/4 of the corpus and must keep useful recall
+    part = similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=50, n_centroids=16, nprobe=4
+    ).toPandas()
+    assert len(part) == 50
+    assert len(set(part["vec"]) & truth) / len(truth) >= 0.4
