@@ -106,3 +106,36 @@ def test_manifest_lineage_counters(documents, built_dirs):
         c["n_docs"] for w in m["waves"].values() for c in w["counters"].values()
     )
     assert total_docs == documents.count()
+
+
+def test_loaded_first_latest_no_decode(spark, documents, doc_index, built_dirs):
+    # VERDICT r2 #4: first/latest on a LOADED index must come from packed
+    # METADATA (first_id + last block_last) — zero posting decode, so the
+    # plan contains NO Python map stage at all
+    clean_dir, _, _ = built_dirs
+    idx = load_index(spark, clean_dir, documents)
+    df = fulltext.index_first_latest(idx)
+    plan = df._jdf.queryExecution().toString()
+    assert "MapInArrow" not in plan and "mapInArrow" not in plan, plan[:2000]
+    got = {r["term"]: (r["first_doc"], r["latest_doc"], r["df"]) for r in df.collect()}
+    want = {
+        r["term"]: (r["first_doc"], r["latest_doc"], r["df"])
+        for r in fulltext.index_first_latest(doc_index).collect()
+    }
+    assert got == want
+
+
+def test_loaded_gather_uses_forward_artifact(spark, documents, doc_index, built_dirs):
+    # gather on a loaded index reads the forward (activity) index artifact;
+    # the only Python decode left is the term-pruned match-set unpack
+    clean_dir, _, _ = built_dirs
+    idx = load_index(spark, clean_dir, documents)
+    assert idx.forward is not None
+    df = fulltext.gather_terms(idx, "spark")
+    # physical plan only (queryExecution().toString() prints all 4 forms)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one decode map (the pruned postings_for_terms), not two
+    assert plan.count("MapInArrow") <= 1, plan[:2000]
+    got = {r["term"]: r["n_docs"] for r in df.collect()}
+    want = {r["term"]: r["n_docs"] for r in fulltext.gather_terms(doc_index, "spark").collect()}
+    assert got == want
