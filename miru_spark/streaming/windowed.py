@@ -42,6 +42,48 @@ def streaming_waveform(
     )
 
 
+def streaming_sip_dedup(
+    stream: DataFrame,
+    key_col: str,
+    version_col: str,
+    out_cols: list[str] | None = None,
+):
+    """Custom stateful operator — the reference's sip tracker
+    (miru-service/.../partition/MiruSipTracker.java:12-27): WAL replays
+    deliver activities more than once, and the tracker keeps a per-partition
+    seen set of (time, version) pairs so replayed rows are suppressed and
+    only strictly newer versions index.
+
+    Spark restatement: ``applyInPandasWithState`` with per-key GroupState =
+    the highest version already emitted. Each micro-batch emits only rows
+    whose version exceeds the state (deduped within the batch), then
+    advances the state — exactly-once dedup across batches, state bounded
+    at one long per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_cols = out_cols or [f.name for f in stream.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields if f.name in out_cols
+    )
+
+    def dedup(key, pdfs, state):
+        seen = state.get[0] if state.exists else -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[version_col] > seen]
+        if len(rows):
+            rows = rows.sort_values(version_col).drop_duplicates(subset=[version_col])
+            state.update((int(rows[version_col].max()),))
+            yield rows[out_cols]
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            dedup, out_schema, "seen long", "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_index_sip(
     spark: SparkSession,
     source_path: str,

@@ -97,3 +97,39 @@ def test_streaming_index_sip(spark, sf_dir, tmp_path):
     a = packed.selectExpr("sum(df_part)", "sum(cum_tf_part)", "count(*)").collect()[0]
     b = batch.selectExpr("sum(df_part)", "sum(cum_tf_part)", "count(*)").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_streaming_sip_dedup(spark, tmp_path):
+    # WAL replay dedup (MiruSipTracker): duplicate (key, version) rows across
+    # micro-batches are suppressed; only strictly newer versions emit
+    from miru_spark.streaming.windowed import streaming_sip_dedup
+
+    src = str(tmp_path / "wal")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "part long, version long, payload string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_sip_dedup(stream, "part", "version")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(0, 1, "a"), (0, 2, "b"), (0, 2, "b-dup"), (1, 5, "x")])
+    got1 = {(r["part"], r["version"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(0, 1), (0, 2), (1, 5)}
+    # replay batch: old versions suppressed by state, new ones pass
+    run_batch([(0, 2, "replay"), (0, 3, "new"), (1, 4, "stale"), (2, 1, "fresh-key")])
+    got2 = {(r["part"], r["version"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {(0, 1), (0, 2), (1, 5), (0, 3), (2, 1)}
