@@ -64,6 +64,10 @@ def cmd_query(args) -> None:
     spec = parse_query(
         args.q, k=args.k, scorer=args.scorer, time_range=time_range, constraints=constraints
     )
+    if args.authz is not None:
+        # MiruRequest carries the caller's authz expression; empty = sees
+        # nothing (NOT_PROVIDED). Labels resolve against the 'authz' aux field.
+        spec.authz = [v for v in args.authz.split(",") if v != ""]
     if args.engine == "wand":
         # wand_topk delegates tree/constraint specs to the DataFrame path
         res = wand.wand_topk(idx, spec)
@@ -112,6 +116,12 @@ def main() -> None:
     q.add_argument("--time-range", default=None, help="lo,hi inclusive doc_key range")
     q.add_argument(
         "--constraint", action="append", default=None, help="field:value mask (repeatable)"
+    )
+    q.add_argument(
+        "--authz",
+        default=None,
+        help="comma-separated authz labels (the caller's MiruAuthzExpression); "
+        "requires the index to have been built with an 'authz' aux field",
     )
     q.set_defaults(fn=cmd_query)
 
