@@ -139,34 +139,43 @@ def prepare_docs(
         )
         w = Window.partitionBy("part").orderBy("_nk")
         ids = ids.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+        # duplicate natural keys would join back d→d² rows with conflicting
+        # doc_keys — under the _nk ordering duplicates are window-adjacent,
+        # so the check is a lag comparison FOLDED INTO doc_key (raise_error
+        # branch): it costs nothing extra (no separate scan/action — the
+        # previous eager count() added a full key pass per build) and cannot
+        # be pruned away because every consumer selects doc_key.
+        dup = F.coalesce(F.lag("_nk").over(w) == F.col("_nk"), F.lit(False))
         # doc_key = part << 32 | doc_id: collision-free regardless of hash
         # skew (a part whose row_number overruns `capacity` would collide
         # with the next part under part*capacity+doc_id — silent doc-identity
         # corruption in gather/tie-break/dedup). 32-bit shift is safe: doc_id
         # is int, part < 2^31.
         ids = ids.withColumn(
-            "doc_key", F.shiftleft(F.col("part").cast("long"), 32) + F.col("doc_id")
+            "doc_key",
+            F.when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"natural_key {natural_key} is not unique: duplicate key "
+                        ),
+                        F.col("_nk"),
+                        F.lit(
+                            " — deduplicate the source (or add a disambiguating "
+                            "column); duplicate keys would assign conflicting "
+                            "doc identities"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.shiftleft(F.col("part").cast("long"), 32) + F.col("doc_id")),
         )
-        # duplicate natural keys would join back d→d² rows with conflicting
-        # doc_keys — under the _nk ordering duplicates are window-adjacent,
-        # so detect via lag and fail loudly instead of exploding.
-        ids = ids.withColumn(
-            "_dup", F.coalesce(F.lag("_nk").over(w) == F.col("_nk"), F.lit(False))
-        )
-        # tiny (keys + ids) — cache so the window runs once across the dup
-        # check + both join consumers; tracked for IndexHandle.unpersist().
+        # tiny (keys + ids) — cache so the window runs once across both join
+        # consumers; tracked for IndexHandle.unpersist().
         ids = ids.cache()
         if tracker is not None:
             tracker.append(ids)
-        n_dup = ids.filter(F.col("_dup")).count()
-        if n_dup:
-            raise ValueError(
-                f"natural_key {natural_key} is not unique: {n_dup} duplicate "
-                "row(s). Deduplicate the source (or add a disambiguating "
-                "column to the key) — duplicate keys would assign conflicting "
-                "doc identities."
-            )
-        out = out.withColumn("_nk", nk).join(ids.drop("_dup"), "_nk").drop("_nk")
+        out = out.withColumn("_nk", nk).join(ids, "_nk").drop("_nk")
     return out
 
 

@@ -57,8 +57,11 @@ def test_natural_key_duplicates_fail_loudly(spark):
         [("r1", "a.py", "x"), ("r1", "a.py", "y"), ("r2", "b.py", "z")],
         "repo string, path string, content string",
     )
-    with pytest.raises(ValueError, match="not unique"):
-        B.prepare_docs(df, "content", natural_key=["repo", "path"], capacity=10)
+    # the check is folded into doc_key (raise_error branch) — it fires on
+    # materialization, with the duplicate key in the message
+    out = B.prepare_docs(df, "content", natural_key=["repo", "path"], capacity=10)
+    with pytest.raises(Exception, match="not unique"):
+        out.count()
 
 
 def test_fused_capacity_guard_fails_fast(spark, documents):
