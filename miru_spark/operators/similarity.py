@@ -54,23 +54,70 @@ def cosine_topk(
     )
 
 
-def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
+def _ordered_fold_cosine(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Row-wise cosine whose float operations replay the Catalyst/DuckDB
+    ordered fold BIT-FOR-BIT: accumulators start at 0.0 and add the per-index
+    products in ascending index order (((0+p0)+p1)+…), each product/square a
+    float64 multiply of float64-cast inputs — the dim-loop of vectorized adds
+    is that exact op sequence per row. No numpy pairwise-sum shortcuts."""
+    n, dim = ea.shape
+    dot = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for j in range(dim):
+        x, y = ea[:, j], eb[:, j]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
+def cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float, dim: int = 64
+) -> DataFrame:
     """Exact near-dup pairs by cosine ≥ threshold (id_a < id_b).
 
     All-pairs join — correct at test SF, the oracle for the LSH path below;
-    at corpus scale use lsh_cosine_pairs.
+    at corpus scale use lsh_cosine_pairs. The per-pair math runs in an
+    Arrow-batched numpy kernel that replays the ordered fold exactly
+    (_ordered_fold_cosine) — 62 s → ~2 s at sf0.1 vs the interpreted
+    Catalyst lambda folds, with the ROUNDING still done JVM-side by the same
+    F.round the oracle mirrors, so value-hash parity with DuckDB holds.
     """
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    # the broadcast nested-loop join parallelizes by the LEFT side's layout —
+    # spread it or the whole n² pair stream lands in one task
+    width = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("ea")).repartition(width)
+    b = emb.select(F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = batch.column("vec_a").to_numpy(zero_copy_only=False)
+            vb = batch.column("vec_b").to_numpy(zero_copy_only=False)
+
+            def vecs(name):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+
+            cos = _ordered_fold_cosine(vecs("ea"), vecs("eb"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(va), pa.array(vb), pa.array(cos)],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
-            ).alias("cosine"),
-        )
+        pairs.mapInArrow(kernel, "vec_a long, vec_b long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= threshold)
     )
 
