@@ -185,6 +185,10 @@ def run_suite() -> dict:
     # variant is the oracle, not a headline op — 62 s at sf0.1)
     _t("q_lsh_pairs", lambda: similarity.lsh_cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=8, n_tables=8).collect())
+    # exact all-pairs (the oracle path) — tracked since the ordered-fold
+    # numpy kernel (62.6s through Catalyst lambda folds before round 3)
+    _t("q_neardup_pairs", lambda: similarity.cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45).collect())
 
     total = time.perf_counter() - t_total0
     spark.stop()
