@@ -26,6 +26,7 @@ recomputing finished waves.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,12 @@ from pyspark.sql import functions as F
 
 from miru_spark.checkpoint import Manifest
 from miru_spark.operators import build as B
+
+# Bumped whenever the on-disk layout changes (e.g. the first_id packed column,
+# per-wave forward flags). Part of the fingerprint, so an index written by
+# older code forces a clean rebuild instead of mixing schemas across waves;
+# load_index refuses older dirs outright.
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -95,6 +102,7 @@ def build_persistent(
     ).collect()[0]
     n_docs = int(frow["n"])
     fingerprint = {
+        "format_version": FORMAT_VERSION,
         "n_docs": n_docs,
         "content_digest": int(frow["sha_sum"] or 0),
         "capacity": capacity,
@@ -102,8 +110,23 @@ def build_persistent(
         "id": dense_id_col or ",".join(natural_key or []),
         "salt_buckets": salt_buckets,
         "aux": ",".join(aux_fields or []),
+        # forward-index on/off is part of the identity: resuming a
+        # forward=True build with forward=False (or vice versa) must restart,
+        # or forward/wave=* would be a PARTIAL glob that gather silently
+        # miscounts over (round-3 ADVICE medium).
+        "forward": bool(forward_index),
     }
     manifest = Manifest.load_or_create(index_dir, fingerprint)
+    if not manifest.data["waves"]:
+        # fresh manifest (new build OR fingerprint-mismatch restart): delete
+        # any stale wave/stage directories from a previous fingerprint so
+        # wave=* globs can never mix old and new data
+        import shutil
+
+        for sub in ("segments", "doclens", "forward", "postings", "stats", "aux"):
+            p = f"{index_dir}/{sub}"
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     parts = sorted(r["part"] for r in docs.select("part").distinct().collect())
     n_waves = math.ceil(len(parts) / wave_size)
@@ -206,20 +229,29 @@ def build_persistent(
 def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = None) -> B.IndexHandle:
     """Open a persisted index as an IndexHandle (flat view decoded lazily)."""
     import json
-    import os
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     if not manifest["stages"].get("ready"):
         raise ValueError(f"index at {index_dir} is not ready (resume the build)")
+    fp = manifest.get("fingerprint", {})
+    if fp.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={fp.get('format_version')} "
+            f"(need {FORMAT_VERSION}) — rebuild it (older layouts lack columns "
+            f"like packed.first_id; mixing them corrupts queries silently)"
+        )
     info = manifest.get("stage_info", {}).get("ready", {})
     packed = spark.read.parquet(f"{index_dir}/postings")
     lens = spark.read.parquet(f"{index_dir}/doclens/wave=*")
     aux = None
     if os.path.isdir(os.path.join(index_dir, "aux")):
         aux = spark.read.parquet(f"{index_dir}/aux")
+    # forward-index completeness comes from the MANIFEST, never from mere
+    # directory existence: the fingerprint pins forward on/off for every
+    # wave, so the glob below is all-or-nothing by construction
     forward = None
-    if os.path.isdir(os.path.join(index_dir, "forward")):
+    if fp.get("forward") and os.path.isdir(os.path.join(index_dir, "forward")):
         forward = spark.read.parquet(f"{index_dir}/forward/wave=*")
     return B.IndexHandle(
         docs=docs,

@@ -254,8 +254,27 @@ def bloom_maybe_contains(
 def _bit_slices(df: DataFrame, value_col: str, n_bits: int, *keep: Column) -> DataFrame:
     """(…keep, bit) rows: one row per set bit of the (nonnegative integer)
     value — the bit-slicing step of the valueBits index family. JVM-side:
-    one explode + filter, codegen-friendly."""
-    v = F.col(value_col).cast("long")
+    one explode + filter, codegen-friendly.
+
+    Values outside [0, 2^n_bits) raise IN-PLAN (negative values would slice
+    two's-complement bits without the sign, values above the width would
+    silently drop high bits — either way Σ-from-slices would diverge from
+    the direct sum; the reference packs the full value bytes so it has no
+    such truncation, ValueBitsIndex.packValue)."""
+    raw = F.col(value_col).cast("long")
+    v = F.when(
+        (raw < 0) | (raw >= F.lit(1 << n_bits)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"valueBits: value of column '{value_col}' outside "
+                    f"[0, 2^{n_bits}): "
+                ),
+                raw.cast("string"),
+                F.lit(" — raise n_bits or clean the input"),
+            )
+        ).cast("long"),
+    ).otherwise(raw)
     bits = F.array(
         *[
             F.struct(

@@ -14,6 +14,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The Arrow pair kernels carry ids as int64; a non-integral id column
+    (e.g. string doc keys) would cast to NULL and silently empty the result
+    (vec_a < vec_b is never true on NULLs). Fail loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"id column '{id_col}' must be an integral type for the similarity "
+            f"kernels (got {dt.simpleString()}); map string/uuid keys to a "
+            f"dense integer id first (e.g. build.prepare_docs doc_key)"
+        )
+
+
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the data (first row) — callers may
+    override, but a wrong hardcoded dim reshapes garbage silently."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot derive embedding dim from empty column '{vec_col}'")
+    return int(row["d"])
+
+
 def _dot(a, b):
     """Deterministic index-ordered fold — matches DuckDB's list_sum over
     list_transform(list_zip(...)) op-for-op."""
@@ -73,21 +97,42 @@ def _ordered_fold_cosine(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
 
 
 def cosine_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float, dim: int = 64
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int | None = None,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact near-dup pairs by cosine ≥ threshold (id_a < id_b).
 
     All-pairs join — correct at test SF, the oracle for the LSH path below;
-    at corpus scale use lsh_cosine_pairs. The per-pair math runs in an
-    Arrow-batched numpy kernel that replays the ordered fold exactly
-    (_ordered_fold_cosine) — 62 s → ~2 s at sf0.1 vs the interpreted
-    Catalyst lambda folds, with the ROUNDING still done JVM-side by the same
-    F.round the oracle mirrors, so value-hash parity with DuckDB holds.
+    at corpus scale use lsh_cosine_pairs (banded candidates) or
+    ivf_cosine_topk (query-time ANN). The contract is ENFORCED, not just
+    documented: above ``max_rows`` input rows the n² broadcast would melt
+    any cluster, so this refuses loudly (mirroring fused_capacity_limit's
+    fail-fast). The per-pair math runs in an Arrow-batched numpy kernel that
+    replays the ordered fold exactly (_ordered_fold_cosine) — 62 s → ~2 s at
+    sf0.1 vs the interpreted Catalyst lambda folds, with the ROUNDING still
+    done JVM-side by the same F.round the oracle mirrors, so value-hash
+    parity with DuckDB holds.
     """
     from typing import Iterator
 
     import pyarrow as pa
 
+    _require_integral_id(emb, id_col)
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs is the all-pairs ORACLE path: {n_rows} rows would "
+            f"stream ~{n_rows * (n_rows - 1) // 2:,} pairs through a broadcast "
+            f"nested-loop join (limit {max_rows}). Use lsh_cosine_pairs "
+            f"(bucketed candidates + exact verify) or ivf_cosine_topk at "
+            f"corpus scale, or raise max_rows explicitly."
+        )
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
     # the broadcast nested-loop join parallelizes by the LEFT side's layout —
     # spread it or the whole n² pair stream lands in one task
     width = emb.sparkSession.sparkContext.defaultParallelism
@@ -155,6 +200,7 @@ def ivf_cosine_topk(
 
     import pyarrow as pa
 
+    _require_integral_id(emb, id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     dim = len(q)
 
@@ -183,6 +229,10 @@ def ivf_cosine_topk(
 
     probe = np.argsort(-(q / max(np.linalg.norm(q), 1e-12)) @ cn.T)[:nprobe]
     probe_set = set(int(c) for c in probe)
+    # the SAME query-norm scalar cosine_scores uses — with the per-doc dot
+    # and norm replayed as the ordered fold, nprobe == n_centroids is
+    # bit-identical to cosine_topk and hash-gates against its SQL oracle
+    qn = float(np.sqrt(np.sum(q**2)))
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -200,11 +250,15 @@ def ivf_cosine_topk(
             if not keep.any():
                 continue
             kept = vecs[keep]
-            cos = np.round(
-                (kept @ q)
-                / (np.linalg.norm(kept, axis=1) * max(np.linalg.norm(q), 1e-12)),
-                6,
-            )
+            # ordered-fold dot and doc-norm (ascending index, scalar adds) —
+            # the exact float op sequence of the Catalyst/DuckDB fold
+            dot = np.zeros(len(kept), dtype=np.float64)
+            nv = np.zeros(len(kept), dtype=np.float64)
+            for j in range(dim):
+                x = kept[:, j]
+                dot += x * q[j]
+                nv += x * x
+            cos = np.round(dot / (np.sqrt(nv) * qn), 6)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids[keep]), pa.array(cos)], names=["vec", "cosine"]
             )
@@ -220,7 +274,7 @@ def lsh_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
@@ -242,6 +296,9 @@ def lsh_cosine_pairs(
 
     import pyarrow as pa
 
+    _require_integral_id(emb, id_col)
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
     all_planes = np.stack(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (T, P, dim)

@@ -264,12 +264,19 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     """Top-k via the per-partition packed-postings kernel + global ordered
     LIMIT. Result is rank- and score-identical to fulltext.top_k."""
     spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
-    if spec.scorer == "time" or spec.tree is not None or spec.constraints:
-        # TIME is an ordered LIMIT, not a scored kernel; nested trees and
-        # constraint masks need the relational set-algebra path (the
-        # reference ANDs constraint bitmaps before scoring — doing it after
-        # the heap would readmit pruned docs). Delegate; results are
-        # identical by construction.
+    if (
+        spec.scorer == "time"
+        or spec.tree is not None
+        or spec.constraints
+        or spec.authz is not None
+    ):
+        # TIME is an ordered LIMIT, not a scored kernel; nested trees,
+        # constraint masks, and the authz mask need the relational
+        # set-algebra path (the reference ANDs constraint + authz bitmaps
+        # before scoring — doing it after the heap would readmit pruned
+        # docs, and skipping authz here would be an authorization bypass:
+        # only fulltext._apply_masks applies spec.authz). Delegate; results
+        # are identical by construction.
         from miru_spark.operators import fulltext as _ft
 
         return _ft.top_k(index, spec)

@@ -59,6 +59,46 @@ def test_simhash_pairs_cover_exact_dups(spark):
     assert (1, 2) in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_cosine_pairs_refuses_corpus_scale(spark, emb):
+    # the all-pairs broadcast is the declared ORACLE path — the scale
+    # contract is enforced, not just documented
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, max_rows=10)
+
+
+def test_similarity_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "sid string, embedding array<float>"
+    )
+    for fn in (
+        lambda: similarity.cosine_pairs(df, "sid", "embedding", threshold=0.5),
+        lambda: similarity.lsh_cosine_pairs(df, "sid", "embedding", threshold=0.5),
+        lambda: similarity.ivf_cosine_topk(df, "sid", "embedding", [1.0, 0.0]),
+    ):
+        with pytest.raises(TypeError, match="integral"):
+            fn()
+
+
+def test_cosine_pairs_derives_dim(spark):
+    # 8-dim vectors with no dim argument: the kernel must reshape correctly
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    rows.append((9, [1.0] + [0.0] * 7))  # duplicate direction of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 9)}
+
+
+def test_ivf_full_probe_bit_identical_to_exact(spark, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=50).toPandas()
+    full = similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=50, n_centroids=16, nprobe=16
+    ).toPandas()
+    # nprobe == n_centroids degrades to exact — same ids, same rounded scores
+    assert list(full["vec"]) == list(exact["vec"])
+    assert list(full["cosine"]) == list(exact["cosine"])
+
+
 def test_ivf_topk_recall_and_full_probe(spark, emb):
     exact = similarity.cosine_topk(
         emb, "vec_id", "embedding",

@@ -59,6 +59,22 @@ def test_query_with_authz_expression(authz_index):
     assert fulltext.top_k(authz_index, spec).count() == 4
 
 
+def test_wand_engine_honors_authz(authz_index):
+    """The kernel path must never skip spec.authz (CLI --engine wand): it
+    delegates authz'd specs to the DataFrame mask chain, so results match
+    fulltext.top_k exactly — and NOT_PROVIDED ([]) sees nothing."""
+    from miru_spark.operators import wand as wand_ops
+
+    spec = parse_query("spark", k=10)
+    spec.authz = ["team_a"]
+    got = {r["doc"] for r in wand_ops.wand_topk(authz_index, spec).collect()}
+    assert got == {0, 2}
+    spec.authz = []
+    assert wand_ops.wand_topk(authz_index, spec).count() == 0
+    spec.authz = None
+    assert wand_ops.wand_topk(authz_index, spec).count() == 4
+
+
 def test_inbox_and_unread(spark):
     rows = [(s, d) for s, d in [("u1", 1), ("u1", 2), ("u1", 3), ("u1", 4), ("u2", 9)]]
     ev = spark.createDataFrame(rows, "stream string, event long")

@@ -95,3 +95,20 @@ def test_anomaly_interpolation_semantics(spark):
     assert out["2024-01-01 02:00:00"] == 6
     assert out["2024-01-01 03:00:00"] == 4
     assert out["2024-01-01 04:00:00"] == 2
+
+
+def test_value_bits_rejects_out_of_range_values(spark):
+    # negative / over-width values would silently corrupt Σ-from-slices —
+    # the guard raises in-plan instead
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    neg = spark.createDataFrame([("g", -1, 1)], "grp string, v long, doc long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="valueBits"):
+        analytics.value_bits_sum(neg, "grp", "v").collect()
+    wide = spark.createDataFrame([("g", 1 << 40, 1)], "grp string, v long, doc long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="valueBits"):
+        analytics.value_bits_sum(wide, "grp", "v").collect()
+    # auto-widened n_bits accepts the same value and sums it exactly
+    got = analytics.value_bits_sum(wide, "grp", "v", n_bits=48).collect()
+    assert got[0]["total"] == 1 << 40
