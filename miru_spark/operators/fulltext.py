@@ -265,10 +265,80 @@ def _expanded_scoring_terms(index: IndexHandle, spec: QuerySpec) -> list[tuple[s
     return expand_clauses(index, flat_spec)
 
 
+def _collect_eval_leaves(node: Node | Leaf | None, acc: list[Leaf]) -> None:
+    """DFS leaf collection in the exact order _tree_flag_expr consumes flags
+    (a None pButNotQ P-child consumes nothing)."""
+    if node is None:
+        return
+    if isinstance(node, Leaf):
+        acc.append(node)
+        return
+    for c in node.children:
+        _collect_eval_leaves(c, acc)
+
+
+def _tree_flag_expr(node: Node | Leaf | None, counter, flag) -> F.Column:
+    """The filter tree as ONE boolean Catalyst expression over per-leaf
+    membership flags — the filterInOut bitmap walk (MiruAggregateUtil.java:
+    794-874) evaluated in a single pass instead of a join per node."""
+    if node is None:
+        return F.lit(True)
+    if isinstance(node, Leaf):
+        return flag(next(counter))
+    if node.op == "and":
+        out = _tree_flag_expr(node.children[0], counter, flag)
+        for c in node.children[1:]:
+            out = out & _tree_flag_expr(c, counter, flag)
+        return out
+    if node.op == "or":
+        out = _tree_flag_expr(node.children[0], counter, flag)
+        for c in node.children[1:]:
+            out = out | _tree_flag_expr(c, counter, flag)
+        return out
+    if node.op == "pButNotQ":
+        p = _tree_flag_expr(node.children[0], counter, flag)
+        q = _tree_flag_expr(node.children[1], counter, flag)
+        for c in node.children[2:]:
+            q = q | _tree_flag_expr(c, counter, flag)
+        return p & ~q
+    raise ValueError(f"unknown filter op {node.op}")
+
+
+def _satisfiable_with_no_hits(node: Node | Leaf | None) -> bool:
+    """True when a doc with ZERO matching leaves can satisfy the tree (pure
+    negation / None mask) — such docs never appear in the leaf-term scan, so
+    the single-scan evaluator is incomplete and must fall back."""
+    if node is None:
+        return True
+    if isinstance(node, Leaf):
+        return False
+    vals = [_satisfiable_with_no_hits(c) for c in node.children]
+    if node.op == "and":
+        return all(vals)
+    if node.op == "or":
+        return any(vals)
+    # pButNotQ: P with no hits, and no Q hit (Q leaves are unhit by premise)
+    return vals[0]
+
+
 def top_k_tree(index: IndexHandle, spec: QuerySpec) -> DataFrame:
-    """Top-k for a nested filter tree: candidates from recursive set algebra,
-    scores from the positive query terms (docs matching only non-scoring
-    branches keep score 0, like the reference's unscored filter hits)."""
+    """Top-k for a nested filter tree: candidates + scores in ONE pass.
+
+    Single-scan design (the round-3 q_nested_bool fix): every leaf's term
+    set is resolved up front, ONE union scan of (content postings ∪ aux
+    postings) restricted to those terms produces (part, doc_id, term, tf)
+    rows, and a single groupBy computes BOTH the per-leaf membership flags
+    (max(when(term ∈ leaf))) and the ascending-term score fold. The boolean
+    tree (plus constraints / authz / timeRange) then filters as one
+    expression — no join or union per tree node, one shuffle total. Docs
+    matching only non-scoring branches keep score 0, like the reference's
+    unscored filter hits. Trees a zero-hit doc could satisfy (bare NOT with
+    no other mask) fall back to the relational set-algebra path."""
+    fallback_needed = _satisfiable_with_no_hits(spec.tree) and not spec.constraints and not (
+        spec.authz  # non-empty authz labels AND into the flags; [] returns early
+    )
+    if not fallback_needed:
+        return _top_k_tree_single_scan(index, spec)
     cand = eval_filter(index, spec.tree, spec.max_expansion).join(
         index.lens, ["part", "doc_id"]
     )
@@ -302,6 +372,139 @@ def top_k_tree(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         res = cand.withColumn("score", F.lit(0.0))
     return (
         res.withColumn("score_r", F.round("score", 6))
+        .orderBy(F.desc("score_r"), F.desc("doc_key"))
+        .limit(spec.k)
+        .select(F.col("doc_key").alias("doc"), F.col("score_r").alias("score"))
+    )
+
+
+def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
+    """One-scan / one-shuffle tree evaluation (see top_k_tree docstring)."""
+    import itertools
+
+    spark = index.stats.sparkSession
+    if spec.authz is not None and not spec.authz:
+        return spark.createDataFrame([], "doc long, score double")
+    tree_leaves: list[Leaf] = []
+    _collect_eval_leaves(spec.tree, tree_leaves)
+    n_tree = len(tree_leaves)
+    n_constraints = len(spec.constraints)
+    authz_leaves = [Leaf(v.lower(), "authz") for v in (spec.authz or [])]
+    leaves = tree_leaves + list(spec.constraints) + authz_leaves
+
+    # resolve every leaf to a predicate over the scan's `term` column;
+    # content terms are collected so the scan predicate is ONE pushable
+    # `term IN (...)`, aux predicates stay as =/LIKE (StartsWith pushes too)
+    content_terms: set[str] = set()
+    preds: list[F.Column] = []
+    aux_preds: list[F.Column] = []
+    for lf in leaves:
+        if lf.field:
+            composite = f"{lf.field}:{lf.term}"
+            p = (
+                F.col("term").like(composite + "%")
+                if lf.prefix
+                else F.col("term") == composite
+            )
+            if index.aux is not None:
+                aux_preds.append(p)
+            else:
+                p = F.lit(False)  # unindexed field matches nothing
+            preds.append(p)
+        else:
+            if lf.prefix:
+                terms = [
+                    r["term"]
+                    for r in index.stats.filter(F.col("term").like(lf.term + "%"))
+                    .select("term")
+                    .orderBy("term")
+                    .limit(spec.max_expansion)
+                    .collect()
+                ]
+            else:
+                terms = [lf.term]
+            content_terms.update(terms)
+            preds.append(F.col("term").isin(terms) if terms else F.lit(False))
+
+    srcs = []
+    if content_terms:
+        srcs.append(
+            postings_for_terms(index, sorted(content_terms)).select(
+                "part", "doc_id", "term", "tf"
+            )
+        )
+    if aux_preds:
+        apred = aux_preds[0]
+        for p in aux_preds[1:]:
+            apred = apred | p
+        srcs.append(
+            index.aux.filter(apred).select(
+                "part", "doc_id", "term", F.lit(1).alias("tf")
+            )
+        )
+    if not srcs:
+        return spark.createDataFrame([], "doc long, score double")
+    scan = srcs[0]
+    for s in srcs[1:]:
+        scan = scan.unionByName(s)
+
+    cand = scan.join(index.lens, ["part", "doc_id"])
+    if spec.time_range is not None:
+        lo, hi = spec.time_range
+        cand = cand.filter(F.col("doc_key").between(int(lo), int(hi)))
+
+    # scoring contribs ride the SAME rows: left-join the broadcast query-term
+    # + stats tables; non-scoring rows (aux, tree-only terms) get NULL
+    # contribs, which collect_list skips — the fold is byte-identical to the
+    # flat path's ascending-term ordered sum
+    expanded = _expanded_scoring_terms(index, spec)
+    if expanded:
+        q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
+        terms_scoring = sorted({t for t, _, _ in expanded})
+        cand = (
+            cand.join(F.broadcast(q), "term", "left")
+            .join(
+                F.broadcast(index.stats.filter(F.col("term").isin(terms_scoring))),
+                "term",
+                "left",
+            )
+            .withColumn(
+                "contrib",
+                _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl),
+            )
+        )
+        score_agg = F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("contrib").isNotNull(), F.struct("term", "contrib")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    else:
+        score_agg = F.lit(0.0).alias("score")
+    flag_cols = [
+        F.max(F.when(preds[i], F.lit(True))).alias(f"_l{i}") for i in range(len(leaves))
+    ]
+    grouped = cand.groupBy("part", "doc_id", "doc_key").agg(score_agg, *flag_cols)
+
+    def flag(i: int) -> F.Column:
+        return F.coalesce(F.col(f"_l{i}"), F.lit(False))
+
+    cond = _tree_flag_expr(spec.tree, itertools.count(), flag)
+    for j in range(n_tree, n_tree + n_constraints):
+        cond = cond & flag(j)
+    if authz_leaves:
+        acond = flag(n_tree + n_constraints)
+        for j in range(n_tree + n_constraints + 1, len(leaves)):
+            acond = acond | flag(j)
+        cond = cond & acond
+    return (
+        grouped.filter(cond)
+        .withColumn("score_r", F.round("score", 6))
         .orderBy(F.desc("score_r"), F.desc("doc_key"))
         .limit(spec.k)
         .select(F.col("doc_key").alias("doc"), F.col("score_r").alias("score"))
