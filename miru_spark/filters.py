@@ -51,11 +51,18 @@ class Clause:
 @dataclass(frozen=True)
 class Leaf:
     """One field filter: default field ("") = scored content terms; named
-    field = aux single-term mask (MiruFieldFilter.java:14-27)."""
+    field = aux single-term mask (MiruFieldFilter.java:14-27).
+
+    ``num_range`` = (lo, hi) inclusive marks a numeric RANGE filter over a
+    numeric-composed aux field (``field:[lo TO hi]`` query syntax) — resolved
+    as a lexicographic term-range scan of the aux relation via
+    miru_spark.termcomp (MiruTermComposer.Prefix.Type.numeric,
+    m-plugin/index/MiruTermComposer.java:130-141); ``term`` is unused."""
 
     term: str
     field: str = ""
     prefix: bool = False
+    num_range: tuple[int, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -94,6 +101,9 @@ class QuerySpec:
 
 _LEX = re.compile(r"\(|\)|[^\s()]+")
 _FIELD = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+# numeric range syntax `field:[lo TO hi]` lexes as three tokens
+_RANGE_LO = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):\[(\d+)$")
+_RANGE_HI = re.compile(r"^(\d+)\]$")
 
 
 class QueryParseError(ValueError):
@@ -144,7 +154,18 @@ def _parse_and(toks: list[str], pos: int) -> tuple[Node | Leaf, int]:
         elif t.startswith("-") and len(t) > 1:
             neg = True
             t = t[1:]
-        if t == "(":
+        rm = _RANGE_LO.match(t)
+        if rm and pos + 2 < len(toks) and toks[pos + 1] == "TO":
+            rh = _RANGE_HI.match(toks[pos + 2])
+            if rh is None:
+                raise QueryParseError(f"malformed numeric range near {t!r}")
+            child = Leaf(
+                "",
+                rm.group(1).lower(),
+                num_range=(int(rm.group(2)), int(rh.group(1))),
+            )
+            pos += 3
+        elif t == "(":
             child, pos = _parse_expr(toks, pos + 1)
             if pos >= len(toks) or toks[pos] != ")":
                 raise QueryParseError("unbalanced parentheses")

@@ -65,6 +65,7 @@ def build_persistent(
     fail_after_wave: int | None = None,
     spread: int | None = None,
     aux_fields: list[str] | None = None,
+    numeric_aux_fields: list[str] | None = None,
     forward_index: bool = True,
     schema=None,
 ) -> BuildReport:
@@ -110,6 +111,7 @@ def build_persistent(
         "id": dense_id_col or ",".join(natural_key or []),
         "salt_buckets": salt_buckets,
         "aux": ",".join(aux_fields or []),
+        "num_aux": ",".join(numeric_aux_fields or []),
         # forward-index on/off is part of the identity: resuming a
         # forward=True build with forward=False (or vice versa) must restart,
         # or forward/wave=* would be a PARTIAL glob that gather silently
@@ -123,7 +125,7 @@ def build_persistent(
         # wave=* globs can never mix old and new data
         import shutil
 
-        for sub in ("segments", "doclens", "forward", "postings", "stats", "aux"):
+        for sub in ("segments", "doclens", "forward", "postings", "stats", "aux", "removed"):
             p = f"{index_dir}/{sub}"
             if os.path.isdir(p):
                 shutil.rmtree(p)
@@ -201,10 +203,10 @@ def build_persistent(
             all_segments.select("term", "df_part", "cum_tf_part")
         )
         stats.coalesce(4).write.mode("overwrite").parquet(f"{index_dir}/stats")
-        if aux_fields:
+        if aux_fields or numeric_aux_fields:
             # single-term field postings, term-sorted for scan pruning
             (
-                B.aux_postings(docs, aux_fields)
+                B.aux_postings(docs, aux_fields or [], numeric_aux_fields)
                 .repartitionByRange(max(2, n_merge // 4), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
@@ -224,6 +226,25 @@ def build_persistent(
         waves_skipped=waves_skipped,
         n_docs=n_docs,
     )
+
+
+def remove_docs(spark: SparkSession, index_dir: str, doc_keys: list[int]) -> int:
+    """Tombstone documents of a persisted index by doc_key — the reference's
+    MiruIndexer.remove / MiruRemovalIndex (m-service/stream/MiruIndexer.java:
+    128-162): posting segments stay IMMUTABLE; queries AND the removal
+    complement (buildIndexMask, m-plugin/bitmap/MiruBitmaps.java:133-139).
+    Append-only and idempotent (the mask is a set — duplicate tombstones are
+    harmless); a fingerprint-mismatch rebuild wipes ``removed/`` because a
+    rebuilt index assigns fresh doc identities."""
+    import json
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if not manifest["stages"].get("ready"):
+        raise ValueError(f"index at {index_dir} is not ready — build it first")
+    df = spark.createDataFrame([(int(k),) for k in doc_keys], "doc_key long")
+    df.coalesce(1).write.mode("append").parquet(f"{index_dir}/removed")
+    return len(doc_keys)
 
 
 def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = None) -> B.IndexHandle:
@@ -253,6 +274,14 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
     forward = None
     if fp.get("forward") and os.path.isdir(os.path.join(index_dir, "forward")):
         forward = spark.read.parquet(f"{index_dir}/forward/wave=*")
+    removed = None
+    if os.path.isdir(os.path.join(index_dir, "removed")):
+        rm_keys = spark.read.parquet(f"{index_dir}/removed")
+        removed = (
+            lens.select("part", "doc_id", "doc_key")
+            .join(rm_keys, "doc_key", "left_semi")
+            .select("part", "doc_id")
+        )
     return B.IndexHandle(
         docs=docs,
         flat=B.unpack_postings(packed),
@@ -265,4 +294,5 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         lazy=True,
         aux=aux,
         forward=forward,
+        removed=removed,
     )

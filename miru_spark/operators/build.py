@@ -726,6 +726,14 @@ class IndexHandle:
     # index_store.build_persistent; gather-class operators read it instead
     # of decoding the whole postings relation on a loaded index.
     forward: DataFrame | None = None
+    # removal index (part, doc_id): tombstoned docs ANDed OUT of every query
+    # answer — MiruRemovalIndex / MiruIndexer.remove (m-plugin/index/
+    # MiruRemovalIndex.java; m-service/stream/MiruIndexer.java:128-162); the
+    # reference ANDs the complement via buildIndexMask
+    # (m-plugin/bitmap/MiruBitmaps.java:133-139). Postings stay immutable;
+    # only the mask changes — corrected/deleted documents disappear from
+    # results without a rebuild.
+    removed: DataFrame | None = None
     # every relation this build cached/persisted — freed by unpersist() so
     # repeated builds in one session don't accumulate BlockManager entries
     cached: list = dataclass_field(default_factory=list)
@@ -739,17 +747,31 @@ class IndexHandle:
         self.cached.clear()
 
 
-def aux_postings(docs: DataFrame, aux_fields: list[str]) -> DataFrame:
+def aux_postings(
+    docs: DataFrame, aux_fields: list[str], numeric_fields: list[str] | None = None
+) -> DataFrame:
     """(part, doc_id, term) single-term field postings with composite terms
     ``field:value`` — the reference's per-field primary indexes with composed
     term bytes (MiruTermComposer.compose prefix encoding, m-plugin/index/
     MiruTermComposer.java:35-83; singleTerm field type,
     m-api/activity/schema/MiruFieldDefinition.java:59-113). The ':' separator
     cannot occur in a content token ([a-z0-9_']+), so the namespaces never
-    collide. No tokenization, no tf — one row per (doc, field)."""
+    collide. No tokenization, no tf — one row per (doc, field).
+
+    ``numeric_fields`` compose via the lexicographic fixed-width numeric
+    encoding (miru_spark.termcomp; MiruTermComposer.Prefix.Type.numeric) so
+    ``field:[lo TO hi]`` range filters run as term-range scans."""
     from pyspark.sql.types import ArrayType
 
+    from miru_spark.termcomp import numeric_composite_col
+
     parts = []
+    for f in numeric_fields or []:
+        parts.append(
+            docs.select(
+                "part", "doc_id", numeric_composite_col(f, F.col(f)).alias("term")
+            )
+        )
     for f in aux_fields:
         if isinstance(docs.schema[f].dataType, ArrayType):
             # multi-valued aux field (multiTerm / authz label arrays): one
@@ -789,6 +811,7 @@ def build_index(
     spread: int | None = None,
     strategy: str = "sort",
     aux_fields: list[str] | None = None,
+    numeric_aux_fields: list[str] | None = None,
     pack_partitions: int | None = None,
     schema=None,
 ) -> IndexHandle:
@@ -933,7 +956,11 @@ def build_index(
         lens=meta.select("part", "doc_id", "doc_key", "dl"),
         corpus=CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"])),
         hot_terms=hot,
-        aux=aux_postings(docs, aux_fields) if aux_fields else None,
+        aux=(
+            aux_postings(docs, aux_fields or [], numeric_aux_fields)
+            if (aux_fields or numeric_aux_fields)
+            else None
+        ),
         lazy=lazy,
         cached=cached,
     )

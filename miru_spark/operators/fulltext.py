@@ -168,6 +168,20 @@ def leaf_doc_set(index: IndexHandle, leaf: Leaf, max_expansion: int = 100) -> Da
             # schema fields; empty is the conservative batch analog)
             spark = index.stats.sparkSession
             return spark.createDataFrame([], "part int, doc_id int")
+        if leaf.num_range is not None:
+            # numeric range = lexicographic term-RANGE scan of the composed
+            # aux terms (MiruTermComposer numeric prefix + rawRangeTerm,
+            # m-plugin/index/MiruTermComposer.java:130-141) — the BETWEEN
+            # predicate pushes to the term-sorted aux parquet
+            from miru_spark.termcomp import numeric_composite_py
+
+            lo = numeric_composite_py(leaf.field, leaf.num_range[0])
+            hi = numeric_composite_py(leaf.field, leaf.num_range[1])
+            return (
+                index.aux.filter(F.col("term").between(lo, hi))
+                .select("part", "doc_id")
+                .distinct()
+            )
         composite = f"{leaf.field}:{leaf.term}"
         pred = (
             F.col("term").like(composite + "%")
@@ -223,11 +237,22 @@ def eval_filter(
     raise ValueError(f"unknown filter op {node.op}")
 
 
+def _not_removed(index: IndexHandle, df: DataFrame) -> DataFrame:
+    """AND the removal index's complement into a (part, doc_id, …) relation —
+    the reference's buildIndexMask = all-ids ANDNOT removal
+    (m-plugin/bitmap/MiruBitmaps.java:133-139), applied to every answer."""
+    if index.removed is None:
+        return df
+    return df.join(
+        index.removed.select("part", "doc_id"), ["part", "doc_id"], "left_anti"
+    )
+
+
 def _apply_masks(index: IndexHandle, scored: DataFrame, spec: QuerySpec) -> DataFrame:
     """AND the timeRange and constraintsFilter masks into a candidate
     relation carrying (part, doc_id, doc_key) — the askLocal mask chain
     (FullTextCustomQuestion.java:89-114)."""
-    out = scored
+    out = _not_removed(index, scored)
     if spec.time_range is not None:
         lo, hi = spec.time_range
         out = out.filter(F.col("doc_key").between(int(lo), int(hi)))
@@ -400,12 +425,20 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     aux_preds: list[F.Column] = []
     for lf in leaves:
         if lf.field:
-            composite = f"{lf.field}:{lf.term}"
-            p = (
-                F.col("term").like(composite + "%")
-                if lf.prefix
-                else F.col("term") == composite
-            )
+            if lf.num_range is not None:
+                from miru_spark.termcomp import numeric_composite_py
+
+                p = F.col("term").between(
+                    numeric_composite_py(lf.field, lf.num_range[0]),
+                    numeric_composite_py(lf.field, lf.num_range[1]),
+                )
+            else:
+                composite = f"{lf.field}:{lf.term}"
+                p = (
+                    F.col("term").like(composite + "%")
+                    if lf.prefix
+                    else F.col("term") == composite
+                )
             if index.aux is not None:
                 aux_preds.append(p)
             else:
@@ -503,7 +536,7 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
             acond = acond | flag(j)
         cond = cond & acond
     return (
-        grouped.filter(cond)
+        _not_removed(index, grouped.filter(cond))
         .withColumn("score_r", F.round("score", 6))
         .orderBy(F.desc("score_r"), F.desc("doc_key"))
         .limit(spec.k)
@@ -605,7 +638,9 @@ def gather_terms(index: IndexHandle, match_term: str) -> DataFrame:
     (index_store ``forward/``); without one on a loaded index we at least
     prune the decode to the partitions containing matches instead of
     unpacking the whole corpus."""
-    matched = postings_for_terms(index, [match_term]).select("part", "doc_id")
+    matched = _not_removed(
+        index, postings_for_terms(index, [match_term]).select("part", "doc_id")
+    )
     if index.forward is not None:
         src = index.forward
     elif index.lazy:

@@ -38,20 +38,45 @@ STRATEGIES = ("unit_weighted", "regression_weighted", "max")
 
 
 def catwalk_model(
-    df: DataFrame, label: Column, features: dict[str, Column]
+    df: DataFrame, label: Column, features: dict[str, Column | list[Column]]
 ) -> DataFrame:
     """(feature_id, feature_value, numerator, denominator) count model.
 
     ``label`` is the numerator predicate (the reference's numeratorTermSets
-    membership); ``features`` maps feature id → the Catalyst expression
-    producing that feature's value (a composed term tuple in the reference —
-    compose multi-field tuples with concat_ws)."""
+    membership); ``features`` maps feature id → the Catalyst expression(s)
+    producing that feature's value. A LIST of columns is a multi-field
+    feature tuple, and any ARRAY-typed component is a multi-valued field:
+    the feature instances are the CARTESIAN product across the components'
+    values — the reference's MiruAggregateUtil.permutate
+    (miru-plugin/.../solution/MiruAggregateUtil.java:408-439), restated as
+    array_distinct + one explode per multi-valued component (sequential
+    explodes ARE the cartesian). A doc with duplicate values in one field
+    still counts once per distinct tuple, like the reference's per-tuple
+    bitmap AND."""
+    from pyspark.sql.types import ArrayType
+
     outs = []
     for fid in sorted(features):
+        comps = features[fid]
+        if not isinstance(comps, (list, tuple)):
+            comps = [comps]
+        work = df.select(
+            label.alias("__label"),
+            *[c.alias(f"__c{i}") for i, c in enumerate(comps)],
+        )
+        names = [f"__c{i}" for i in range(len(comps))]
+        for name in names:
+            if isinstance(work.schema[name].dataType, ArrayType):
+                work = work.withColumn(name, F.explode(F.array_distinct(F.col(name))))
+        fv = (
+            F.col(names[0]).cast("string")
+            if len(names) == 1
+            else F.concat_ws("\x1f", *[F.col(n).cast("string") for n in names])
+        )
         outs.append(
-            df.groupBy(features[fid].cast("string").alias("feature_value"))
+            work.groupBy(fv.alias("feature_value"))
             .agg(
-                F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("numerator"),
+                F.sum(F.when(F.col("__label"), 1).otherwise(0)).cast("long").alias("numerator"),
                 F.count(F.lit(1)).alias("denominator"),
             )
             .select(

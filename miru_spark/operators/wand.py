@@ -314,6 +314,15 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
                 neg_ids = np.unique(
                     np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
                 )
+        if "_removed" in lens_pdf.columns:
+            # removal index → pre-admission mask (the reference ANDs the
+            # complement before any scoring, MiruBitmaps.buildIndexMask) —
+            # filtering after the heap would let tombstoned docs raise θ
+            rm = lens_pdf["doc_id"].to_numpy()[
+                lens_pdf["_removed"].fillna(False).to_numpy(dtype=bool)
+            ]
+            if len(rm):
+                neg_ids = rm if neg_ids is None else np.union1d(neg_ids, rm)
         if time_range is not None:
             # timeRange = doc_key range (Miru's time IS insertion order);
             # excluded ids join the pre-admission mask — filtering after the
@@ -366,6 +375,12 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
         "part", "term", "ids", "tfs", "block_last", "block_max_tf"
     )
     lens = index.lens
+    if index.removed is not None:
+        lens = lens.join(
+            index.removed.select("part", "doc_id").withColumn("_removed", F.lit(True)),
+            ["part", "doc_id"],
+            "left",
+        )
     result = (
         posts.groupBy("part")
         .cogroup(lens.groupBy("part"))

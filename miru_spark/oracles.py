@@ -109,6 +109,14 @@ def _leaf_set_sql(leaf: Leaf, table: str, id_col: str, max_exp: int) -> str:
     named field directly on the source column (the aux composite-term
     relation is a pure function of it)."""
     if leaf.field:
+        if leaf.num_range is not None:
+            # numeric range composition (termcomp) is order-preserving, so
+            # the index's term-range scan ≡ BETWEEN on the raw column
+            lo, hi = leaf.num_range
+            return (
+                f"SELECT {id_col} AS doc_id FROM {table} "
+                f"WHERE {leaf.field} BETWEEN {int(lo)} AND {int(hi)}"
+            )
         col = f"lower(CAST({leaf.field} AS VARCHAR))"
         pred = f"{col} LIKE '{leaf.term}%'" if leaf.prefix else f"{col} = '{leaf.term}'"
         return f"SELECT {id_col} AS doc_id FROM {table} WHERE {pred}"
@@ -468,16 +476,34 @@ SELECT item, score FROM scored ORDER BY score DESC, item ASC LIMIT {k}
 """
 
 
-def catwalk_model_sql(table: str, label_pred: str, features: dict[str, str]) -> str:
+def catwalk_model_sql(
+    table: str,
+    label_pred: str,
+    features: dict[str, str],
+    array_features: dict[str, str] | None = None,
+) -> str:
     """Naive-Bayes count model — mirrors models.catwalk_model: one grouped
-    count per feature, numerator = label hits, denominator = total."""
-    parts = [
-        f"""SELECT '{fid}' AS feature_id, CAST({expr} AS VARCHAR) AS feature_value,
+    count per feature, numerator = label hits, denominator = total.
+    ``array_features`` map fid → a DuckDB LIST expression; the feature
+    instances are its distinct elements (the permutate/multiTerm case —
+    unnest(list_distinct(...)) ≡ the engine's array_distinct + explode)."""
+    all_feats: dict[str, tuple[str, bool]] = {f: (e, False) for f, e in features.items()}
+    for f, e in (array_features or {}).items():
+        all_feats[f] = (e, True)
+    parts = []
+    for fid, (expr, is_arr) in sorted(all_feats.items()):
+        if is_arr:
+            frm = f"FROM {table}, unnest(list_distinct({expr})) AS __u(v)"
+            val = "CAST(__u.v AS VARCHAR)"
+        else:
+            frm = f"FROM {table}"
+            val = f"CAST({expr} AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{fid}' AS feature_id, {val} AS feature_value,
        CAST(sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END) AS BIGINT) AS numerator,
        count(*) AS denominator
-FROM {table} GROUP BY 2"""
-        for fid, expr in sorted(features.items())
-    ]
+{frm} GROUP BY 2"""
+        )
     return " UNION ALL ".join(parts)
 
 

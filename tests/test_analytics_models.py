@@ -73,3 +73,36 @@ def test_strut_scores_and_strategies(spark, label_df):
     assert dict(zip(r_max["doc"], r_max["score"]))[1] == 0.5
     with pytest.raises(ValueError):
         models.strut_score(label_df, "doc", feats, m, "bogus", k=10)
+
+
+def test_catwalk_permutate_multivalued_features(spark):
+    # MiruAggregateUtil.permutate: feature tuples are the CARTESIAN across
+    # multi-valued fields; duplicate values in one field count once
+    from miru_spark.operators import models
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a"], ["x"], True),
+            (2, ["a"], ["x", "y"], False),
+            (3, [], ["x"], True),  # empty array -> no tuples at all
+        ],
+        "doc long, tags array<string>, cats array<string>, is_err boolean",
+    )
+    m = models.catwalk_model(
+        df,
+        F.col("is_err"),
+        {"combo": [F.col("tags"), F.col("cats")], "tag": F.col("tags")},
+    )
+    rows = {
+        (r["feature_id"], r["feature_value"]): (r["numerator"], r["denominator"])
+        for r in m.collect()
+    }
+    SEP = "\x1f"
+    # doc1: tags{a,b} x cats{x} -> (a,x),(b,x) labeled; doc2: {a} x {x,y}
+    assert rows[("combo", f"a{SEP}x")] == (1, 2)
+    assert rows[("combo", f"b{SEP}x")] == (1, 1)
+    assert rows[("combo", f"a{SEP}y")] == (0, 1)
+    # doc3's empty tags contributes nothing, even to single-field features
+    assert rows[("tag", "a")] == (1, 2)
+    assert rows[("tag", "b")] == (1, 1)
+    assert ("tag", "") not in rows or rows[("tag", "")][1] == 0
