@@ -21,11 +21,22 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+import dataclasses
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.filters import Leaf, parse_query
-from miru_spark.operators import analytics, dedup, fulltext, models, reco, similarity, textstats
+from miru_spark.operators import (
+    analytics,
+    dedup,
+    fulltext,
+    models,
+    reco,
+    similarity,
+    streams,
+    textstats,
+)
 from miru_spark.operators import wand as wand_ops
 from miru_spark.operators.build import build_index
 from miru_spark import oracles
@@ -48,6 +59,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_with_authz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + a deterministic authz-label array (doc_id % 4: team_a /
+    team_b / both / none) — the multi-tenant fixture for the authz-mask gate;
+    the oracle mirrors the same modulus as a doc_id predicate."""
+    m = F.col("doc_id") % 4
+    return _docs(spark, sf_dir).withColumn(
+        "authz",
+        F.when(m == 0, F.array(F.lit("team_a")))
+        .when(m == 1, F.array(F.lit("team_b")))
+        .when(m == 2, F.array(F.lit("team_a"), F.lit("team_b")))
+        .otherwise(F.array().cast("array<string>")),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -61,13 +86,14 @@ def _index(spark: SparkSession, sf_dir: str):
     if key not in _INDEX_CACHE:
         _ship_package(spark)
         _INDEX_CACHE[key] = build_index(
-            _docs(spark, sf_dir),
+            _docs_with_authz(spark, sf_dir),
             text_col="text",
             dense_id_col="doc_id",
             capacity=128,
             hot_df_threshold=64,
             salt_buckets=4,
-            aux_fields=["lang", "source"],
+            aux_fields=["lang", "source", "authz"],
+            numeric_aux_fields=["n_chars"],
         )
     return _INDEX_CACHE[key]
 
@@ -142,11 +168,19 @@ _FULLTEXT = {
 # filter TREE, a named-field mask, a timeRange, a constraintsFilter, or the
 # TIME strategy — the FullTextQuery surface the reference exposes
 # (FullTextQuery.java:13-52, MiruFieldFilter.java:14-27).
+#
+# Round-4 retirements (the 50-slot gate is zero-sum; freed slots gate the
+# authz/unread/IVF/numeric-range/removal surface, all pytest-covered too):
+# fulltext_bool_precedence (parser precedence is pytest-gated;
+# fulltext_nested_bool keeps the tree path), index_first_latest +
+# gather_terms_spark (their _loaded twins exercise strictly more — the
+# metadata/forward-artifact paths), aggregate_counts_page (keyset subset of
+# aggregate_counts_full), distincts_event_types (the distinct-values
+# primitive also underlies distinct_count + every groupBy gate;
+# distincts_field_lang keeps Distincts gated via the aux dictionary).
 _FULLTEXT_SPECS = {
     # parens + pButNotQ wrap (LuceneBackedQueryParser.java:111-144)
     "fulltext_nested_bool": dict(q="spark AND (join OR merge) NOT window"),
-    # mixed AND/OR now parses with explicit precedence instead of all-OR
-    "fulltext_bool_precedence": dict(q="dup AND spark OR vector"),
     # named-field mask AND scored content term (MiruFieldFilter)
     "fulltext_field_lang": dict(q="lang:fr AND spark"),
     # nested OR across a field mask and a scored term (score-0 candidates)
@@ -157,6 +191,9 @@ _FULLTEXT_SPECS = {
     "fulltext_constraints": dict(q="spark", constraints=[Leaf("src7", "source")]),
     # TIME strategy over the answer set (FullText.collectTime)
     "fulltext_time_topk": dict(q="spark AND join", scorer="time", k=50),
+    # numeric term composition: `field:[lo TO hi]` range mask as a
+    # lexicographic term-range scan (MiruTermComposer.Prefix.Type.numeric)
+    "fulltext_numeric_range": dict(q="spark AND n_chars:[200 TO 400]"),
 }
 
 
@@ -216,16 +253,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("doc_key").alias("doc"), F.col("content_sha").alias("sha")
     )
 
-    # first/latest + gather, on the in-memory build AND on a PERSISTED index
-    # loaded from disk (the loaded variants prove the no-decode metadata path
-    # and the forward-index gather — round-2's scale-killer full unpack)
-    q["index_first_latest"] = lambda s, d: fulltext.index_first_latest(_index(s, d))
+    # first/latest + gather on a PERSISTED index loaded from disk (proves the
+    # no-decode metadata path and the forward-index gather — round-2's
+    # scale-killer full unpack; the in-memory twins retired round 4, these
+    # exercise strictly more)
     q["index_first_latest_loaded"] = lambda s, d: fulltext.index_first_latest(
         _loaded_index(s, d)
     )
-    q["gather_terms_spark"] = lambda s, d: fulltext.gather_terms(_index(s, d), "spark")
     q["gather_terms_loaded"] = lambda s, d: fulltext.gather_terms(
         _loaded_index(s, d), "spark"
+    )
+
+    # multi-tenant stream surface (round 4): the authz mask ANDed into a
+    # scored query (MiruAuthzIndex composite-OR), the removal index
+    # subtracted from the answer (MiruRemovalIndex), and the unread
+    # tracker's inbox-minus-read-mask (MiruUnreadTrackingIndex.applyRead)
+    def _authz_query(s, d):
+        spec = parse_query("spark", k=100)
+        spec.authz = ["team_a"]
+        return fulltext.top_k(_index(s, d), spec)
+
+    q["fulltext_authz"] = _authz_query
+
+    def _removal_query(s, d):
+        idx = _index(s, d)
+        rm = idx.docs.filter(F.col("doc_key") % 7 == 0).select("part", "doc_id")
+        return fulltext.top_k(
+            dataclasses.replace(idx, removed=rm), "spark OR join", k=100
+        )
+
+    q["fulltext_removal"] = _removal_query
+    q["stream_unread"] = lambda s, d: streams.unread(
+        _events(s, d),
+        "user_id",
+        1,
+        "event_id",
+        read_docs=_events(s, d)
+        .filter(F.col("event_id") % 2 == 0)
+        .select(F.col("event_id").alias("doc")),
+    )
+    # IVF ANN with nprobe == n_centroids degrades to exact brute force
+    # (bit-identical to cosine_topk — asserted in tests), so the ANN index
+    # is oracle-gateable; partial-probe recall is pytest-gated
+    q["ivf_cosine_topk"] = lambda s, d: similarity.ivf_cosine_topk(
+        _emb(s, d), "vec_id", "embedding", _query_vec(s, d),
+        k=50, n_centroids=16, nprobe=16,
     )
 
     # training-data operators that fell outside round 2's gated window —
@@ -259,19 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["time_range_mask"] = lambda s, d: analytics.time_range_mask(
         _events(s, d), "ts", "2024-01-05 00:00:00", "2024-01-10 00:00:00", "event_type"
     )
-    q["distincts_event_types"] = lambda s, d: analytics.distinct_values(
-        _events(s, d), "event_type"
-    )
     q["distinct_count_error_users"] = lambda s, d: analytics.distinct_count(
         _events(s, d), "user_id", F.col("event_type") == "error"
     )
     # full AggregateCounts surface: latest/oldest doc gather per group
-    # (AggregateCounts.java:260-299) + keyset pagination (resumable report)
+    # (AggregateCounts.java:260-299); keyset pagination pytest-covered
     q["aggregate_counts_full"] = lambda s, d: analytics.aggregate_counts(
         _events(s, d), "event_type", "ts", doc_col="event_id"
-    )
-    q["aggregate_counts_page"] = lambda s, d: analytics.aggregate_counts(
-        _events(s, d), "event_type", "ts", doc_col="event_id", cursor="error", page_size=2
     )
     # paired-latest index (MiruIndexPairedLatest): latest doc per (a, b)
     q["paired_latest_type_user"] = lambda s, d: analytics.paired_latest(
@@ -309,11 +375,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # Catwalk model build + Strut model score (the reference's ML surface,
     # Catwalk.java:65-212 / Strut.java:82-248) over the events stream:
-    # label = error events; features = the acting user and the event day
+    # label = error events; features = the acting user, the event day, and a
+    # MULTI-VALUED tag array (MiruAggregateUtil.permutate — one feature
+    # instance per distinct array value, round 4)
     q["catwalk_model"] = lambda s, d: models.catwalk_model(
         _events(s, d),
         F.col("event_type") == "error",
-        {"user": F.col("user_id"), "day": F.to_date(F.col("ts"))},
+        {
+            "user": F.col("user_id"),
+            "day": F.to_date(F.col("ts")),
+            "tag": F.array(
+                F.col("event_type"),
+                F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")),
+            ),
+        },
     )
     q["strut_score"] = lambda s, d: models.strut_score(
         _events(s, d),
@@ -381,11 +456,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT 'lang:' || lower(lang) AS term FROM documents"
     )
 
+    # authz mask: the fixture's labels are doc_id % 4 (team_a on 0 and 2) —
+    # the oracle ANDs that predicate into the same scored query
+    o["fulltext_authz"] = oracles.fulltext_topk_sql(
+        parse_query("spark", k=100), extra_pred="doc_id % 4 IN (0, 2)"
+    )
+    # removal index: tombstones = doc_key % 7 == 0, subtracted pre-LIMIT
+    o["fulltext_removal"] = oracles.fulltext_topk_sql(
+        parse_query("spark OR join", k=100), extra_pred="doc_id % 7 <> 0"
+    )
+    o["stream_unread"] = """
+SELECT DISTINCT event_id AS doc FROM events
+WHERE user_id = 1 AND event_id % 2 <> 0
+"""
+    # nprobe == n_centroids ⇒ exact (bit-identical ordered-fold scores)
+    o["ivf_cosine_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
+
     o["term_stats"] = oracles.term_stats_sql(limit=100)
     o["corpus_stats"] = oracles.doc_stats_sql()
     o["content_sha"] = "SELECT doc_id AS doc, sha256(text) AS sha FROM documents"
 
-    o["index_first_latest"] = """
+    o["index_first_latest_loaded"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), x -> x <> '')) AS term
   FROM documents
@@ -394,7 +485,7 @@ tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
 SELECT term, min(doc_id) AS first_doc, max(doc_id) AS latest_doc, count(*) AS df
 FROM tf GROUP BY term
 """
-    o["gather_terms_spark"] = """
+    o["gather_terms_loaded"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), x -> x <> '')) AS term
   FROM documents
@@ -405,10 +496,6 @@ SELECT term, count(*) AS n_docs
 FROM tf WHERE doc_id IN (SELECT doc_id FROM matched)
 GROUP BY term
 """
-    # loaded-index variants answer the SAME questions from the persisted
-    # artifacts — identical oracles
-    o["index_first_latest_loaded"] = o["index_first_latest"]
-    o["gather_terms_loaded"] = o["gather_terms_spark"]
     o["value_bits_sum"] = oracles.value_bits_sum_sql("events", "event_type", "user_id")
     o["anomaly_metricing_avg"] = oracles.anomaly_metricing_sql(
         "events", "ts", "user_id", "event_type = 'error'", "hour"
@@ -419,7 +506,6 @@ FROM events
 WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
 GROUP BY 1
 """
-    o["distincts_event_types"] = oracles.distinct_values_sql("events", "event_type")
     o["distinct_count_error_users"] = oracles.distinct_count_sql(
         "events", "user_id", "event_type = 'error'"
     )
@@ -432,15 +518,6 @@ SELECT event_type AS group_value, count(*) AS n,
        max_by(event_id, {_by}) AS latest_doc,
        min_by(event_id, {_by}) AS oldest_doc
 FROM events GROUP BY 1
-"""
-    o["aggregate_counts_page"] = f"""
-SELECT * FROM (
-  SELECT event_type AS group_value, count(*) AS n,
-         min(ts) AS oldest_ts, max(ts) AS latest_ts,
-         max_by(event_id, {_by}) AS latest_doc,
-         min_by(event_id, {_by}) AS oldest_doc
-  FROM events GROUP BY 1
-) WHERE group_value > 'error' ORDER BY group_value LIMIT 2
 """
     o["paired_latest_type_user"] = """
 SELECT event_type AS a, user_id AS b, max(event_id) AS latest_doc
@@ -464,7 +541,12 @@ FROM (SELECT DISTINCT event_type, user_id FROM events)
         ["event_id", "ts", "user_id", "value"],
     )
     _feat = {"user": "user_id", "day": "date_trunc('day', ts)"}
-    o["catwalk_model"] = oracles.catwalk_model_sql("events", "event_type = 'error'", _feat)
+    o["catwalk_model"] = oracles.catwalk_model_sql(
+        "events",
+        "event_type = 'error'",
+        _feat,
+        array_features={"tag": "[event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]"},
+    )
     o["strut_score"] = oracles.strut_score_sql(
         "events", "event_id", "event_type = 'error'", _feat, "unit_weighted", 100
     )

@@ -57,7 +57,12 @@ def fulltext_topk_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_pred: str | None = None,
 ) -> str:
+    """``extra_pred`` is an additional doc_id predicate ANDed into the final
+    WHERE (before LIMIT) — used to mirror the authz mask and the removal
+    index, whose label/tombstone sets the driver fixtures derive as pure
+    functions of doc_id."""
     tok = duckdb_tokens_sql(text_col)
     if spec.scorer == "bm25":
         contrib = (
@@ -98,7 +103,7 @@ scored AS (
 )
 SELECT doc_id AS doc, round(score, 6) AS score
 FROM scored
-WHERE {matched_pred} {_neg_pred(spec)}
+WHERE {matched_pred} {_neg_pred(spec)} {f"AND ({extra_pred})" if extra_pred else ""}
 ORDER BY score DESC, doc DESC LIMIT {spec.k}
 """
 
