@@ -33,6 +33,11 @@ def cmd_build(args) -> None:
     spark = _spark("miru_build")
     src = read_source(spark, args.input, args.format)
     natural_key = args.natural_key.split(",") if args.natural_key else None
+    stopwords = None
+    if args.stopwords == "english":
+        from miru_spark.tokenize import ENGLISH_STOPWORDS
+
+        stopwords = ENGLISH_STOPWORDS
     rep = build_persistent(
         src,
         args.index,
@@ -42,8 +47,20 @@ def cmd_build(args) -> None:
         capacity=args.capacity,
         wave_size=args.wave_size,
         aux_fields=args.aux_fields.split(",") if args.aux_fields else None,
+        numeric_aux_fields=(
+            args.numeric_aux_fields.split(",") if args.numeric_aux_fields else None
+        ),
+        stopwords=stopwords,
     )
     print(json.dumps(rep.__dict__))
+
+
+def cmd_remove(args) -> None:
+    from miru_spark.index_store import remove_docs
+
+    spark = _spark("miru_remove")
+    n = remove_docs(spark, args.index, [int(k) for k in args.doc_keys.split(",")])
+    print(json.dumps({"removed": n}))
 
 
 def cmd_query(args) -> None:
@@ -105,7 +122,23 @@ def main() -> None:
     b.add_argument("--natural-key", default=None, help="comma-separated columns")
     b.add_argument("--capacity", type=int, default=1 << 20)
     b.add_argument("--wave-size", type=int, default=8)
+    b.add_argument(
+        "--numeric-aux-fields",
+        default=None,
+        help="comma-separated numeric fields (range-scannable via field:[lo TO hi])",
+    )
+    b.add_argument(
+        "--stopwords",
+        default=None,
+        choices=["english"],
+        help="analyzer stop set applied at ingest AND query (TermAnalyzers.useStopWords)",
+    )
     b.set_defaults(fn=cmd_build)
+
+    rm = sub.add_parser("remove")
+    rm.add_argument("--index", required=True)
+    rm.add_argument("--doc-keys", required=True, help="comma-separated doc keys to tombstone")
+    rm.set_defaults(fn=cmd_remove)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

@@ -110,7 +110,7 @@ class QueryParseError(ValueError):
     pass
 
 
-def _atom(word: str) -> Leaf | None:
+def _atom(word: str, stopwords: frozenset | None = None) -> Leaf | None:
     fld = ""
     m = _FIELD.match(word)
     if m:
@@ -119,24 +119,30 @@ def _atom(word: str) -> Leaf | None:
     word = word.rstrip("*")
     if fld:
         return Leaf(word.lower(), fld, prefix)
-    toks = tokenize_py(word)  # query and ingest share one analyzer
+    # query and ingest share ONE analyzer, incl. the stopword dialect — a
+    # stopworded query term vanishes exactly like it did at ingest
+    toks = tokenize_py(word, stopwords=stopwords)
     if not toks:
         return None
     return Leaf(toks[0], "", prefix)
 
 
-def _parse_expr(toks: list[str], pos: int) -> tuple[Node | Leaf, int]:
-    left, pos = _parse_and(toks, pos)
+def _parse_expr(
+    toks: list[str], pos: int, stopwords: frozenset | None = None
+) -> tuple[Node | Leaf, int]:
+    left, pos = _parse_and(toks, pos, stopwords)
     groups = [left]
     while pos < len(toks) and toks[pos] == "OR":
-        nxt, pos = _parse_and(toks, pos + 1)
+        nxt, pos = _parse_and(toks, pos + 1, stopwords)
         groups.append(nxt)
     if len(groups) == 1:
         return groups[0], pos
     return Node("or", tuple(groups)), pos
 
 
-def _parse_and(toks: list[str], pos: int) -> tuple[Node | Leaf, int]:
+def _parse_and(
+    toks: list[str], pos: int, stopwords: frozenset | None = None
+) -> tuple[Node | Leaf, int]:
     positives: list[Node | Leaf] = []
     negatives: list[Node | Leaf] = []
     while pos < len(toks) and toks[pos] not in (")", "OR"):
@@ -166,12 +172,12 @@ def _parse_and(toks: list[str], pos: int) -> tuple[Node | Leaf, int]:
             )
             pos += 3
         elif t == "(":
-            child, pos = _parse_expr(toks, pos + 1)
+            child, pos = _parse_expr(toks, pos + 1, stopwords)
             if pos >= len(toks) or toks[pos] != ")":
                 raise QueryParseError("unbalanced parentheses")
             pos += 1
         else:
-            child = _atom(t)
+            child = _atom(t, stopwords)
             pos += 1
             if child is None:
                 continue  # word tokenized to nothing (punctuation-only)
@@ -191,11 +197,11 @@ def _parse_and(toks: list[str], pos: int) -> tuple[Node | Leaf, int]:
     return p, pos
 
 
-def parse_tree(query: str) -> Node | Leaf:
+def parse_tree(query: str, stopwords: frozenset | None = None) -> Node | Leaf:
     toks = _LEX.findall(query)
     if not toks:
         raise QueryParseError("empty query")
-    tree, pos = _parse_expr(toks, 0)
+    tree, pos = _parse_expr(toks, 0, stopwords)
     if pos != len(toks):
         raise QueryParseError(f"unexpected token at {pos}: {toks[pos]!r}")
     return tree
@@ -277,8 +283,9 @@ def parse_query(
     scorer: str = "bm25",
     time_range: tuple[int, int] | None = None,
     constraints: list[Leaf] | None = None,
+    stopwords: frozenset | None = None,
 ) -> QuerySpec:
-    tree = parse_tree(query)
+    tree = parse_tree(query, stopwords)
     flat = _flatten(tree)
     spec = QuerySpec(
         k=k,

@@ -68,6 +68,7 @@ def build_persistent(
     numeric_aux_fields: list[str] | None = None,
     forward_index: bool = True,
     schema=None,
+    stopwords: frozenset | None = None,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
     crash after that wave's commit (kill-resume tests only). ``spread`` as in
@@ -112,6 +113,7 @@ def build_persistent(
         "salt_buckets": salt_buckets,
         "aux": ",".join(aux_fields or []),
         "num_aux": ",".join(numeric_aux_fields or []),
+        "stopwords": ",".join(sorted(stopwords or [])),
         # forward-index on/off is part of the identity: resuming a
         # forward=True build with forward=False (or vice versa) must restart,
         # or forward/wave=* would be a PARTIAL glob that gather silently
@@ -143,7 +145,7 @@ def build_persistent(
         # spread the tokenize stage (see build_index) — numbered repartition
         # keeps the Arrow pass at full width regardless of wave part count
         tokenize_src = wave_docs.repartition(spread) if spread else wave_docs
-        flat = B.flat_postings(tokenize_src, text_col)
+        flat = B.flat_postings(tokenize_src, text_col, stopwords)
         packed = B.packed_from_flat(flat)
         (
             packed.repartition("part")
@@ -295,4 +297,7 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         aux=aux,
         forward=forward,
         removed=removed,
+        stopwords=(
+            frozenset(fp["stopwords"].split(",")) if fp.get("stopwords") else None
+        ),
     )

@@ -179,7 +179,9 @@ def prepare_docs(
     return out
 
 
-def flat_postings(docs: DataFrame, text_col: str = "content") -> DataFrame:
+def flat_postings(
+    docs: DataFrame, text_col: str = "content", stopwords: frozenset | None = None
+) -> DataFrame:
     """(part, term, doc_id, tf) — the uncompressed logical posting relation.
 
     One Arrow-batched pass: tokenize + per-doc tf count happen map-side in
@@ -197,6 +199,7 @@ def flat_postings(docs: DataFrame, text_col: str = "content") -> DataFrame:
     from miru_spark.tokenize import TOKEN_SPLIT_RE
 
     find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
+    stop = stopwords or None
 
     def _tok(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from collections import Counter
@@ -209,7 +212,10 @@ def flat_postings(docs: DataFrame, text_col: str = "content") -> DataFrame:
             for p, d, txt in zip(parts, doc_ids, texts):
                 if not txt:
                     continue
-                counts = Counter(find_re.findall(txt.lower()))
+                toks = find_re.findall(txt.lower())
+                if stop:
+                    toks = [t for t in toks if t not in stop]
+                counts = Counter(toks)
                 if not counts:
                     continue
                 o_part.append(np.full(len(counts), p, dtype=np.int32))
@@ -475,7 +481,10 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
 
 
 def packed_fused(
-    docs: DataFrame, text_col: str = "content", num_tasks: int | None = None
+    docs: DataFrame,
+    text_col: str = "content",
+    num_tasks: int | None = None,
+    stopwords: frozenset | None = None,
 ) -> DataFrame:
     """Tokenize AND pack in ONE task per doc-partition group — no flat
     shuffle at all.
@@ -500,6 +509,7 @@ def packed_fused(
     from miru_spark.tokenize import TOKEN_SPLIT_RE
 
     find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
+    stop = stopwords or None
     spark = docs.sparkSession
     n = num_tasks or spark.sparkContext.defaultParallelism * 2
     src = docs.select("part", "doc_id", F.col(text_col)).repartition(n, "part")
@@ -518,7 +528,10 @@ def packed_fused(
             for p, d, txt in zip(parts, doc_ids, texts):
                 if not txt:
                     continue
-                counts = Counter(find_re.findall(txt.lower()))
+                toks = find_re.findall(txt.lower())
+                if stop:
+                    toks = [t for t in toks if t not in stop]
+                counts = Counter(toks)
                 if not counts:
                     continue
                 intern = interns.setdefault(int(p), {})
@@ -734,6 +747,10 @@ class IndexHandle:
     # only the mask changes — corrected/deleted documents disappear from
     # results without a rebuild.
     removed: DataFrame | None = None
+    # stopword dialect the index was built with (TermAnalyzers.useStopWords
+    # analog) — query parsing MUST apply the same set (top_k/wand_topk pass
+    # it to parse_query automatically for string queries)
+    stopwords: frozenset | None = None
     # every relation this build cached/persisted — freed by unpersist() so
     # repeated builds in one session don't accumulate BlockManager entries
     cached: list = dataclass_field(default_factory=list)
@@ -814,6 +831,7 @@ def build_index(
     numeric_aux_fields: list[str] | None = None,
     pack_partitions: int | None = None,
     schema=None,
+    stopwords: frozenset | None = None,
 ) -> IndexHandle:
     """``strategy``: 'sort' (default — shuffle-sort streaming pack) or
     'hash_agg' (collect_list + explicit hot-term salting; byte-identical
@@ -882,7 +900,7 @@ def build_index(
         # decode view over cached packed, and queries term-prune the packed
         # relation first (lazy=True).
         hot, segments = [], None
-        packed_all = packed_fused(docs, text_col, pack_partitions)
+        packed_all = packed_fused(docs, text_col, pack_partitions, stopwords)
         # packed_all feeds ≥3 consumers (postings filter → stats/queries,
         # the DL sentinel → doc lengths, corpus-stats action) — persist it
         # REGARDLESS of the cache flag or the whole tokenize+pack kernel
@@ -914,7 +932,7 @@ def build_index(
         # tasks as the source has files. A numbered repartition is
         # AQE-coalesce-exempt. Measured 3.5× at local[32].
         tok_src = docs.repartition(spread) if spread else docs
-        flat = flat_postings(tok_src, text_col)
+        flat = flat_postings(tok_src, text_col, stopwords)
         if cache:
             slim = slim.cache()
             flat = flat.cache()
@@ -962,5 +980,6 @@ def build_index(
             else None
         ),
         lazy=lazy,
+        stopwords=stopwords,
         cached=cached,
     )

@@ -547,7 +547,11 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
 def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str = "bm25") -> DataFrame:
     """Global top-k (doc_key, score) — ordered LIMIT = the reference's
     cross-partition merge (FullTextAnswerMerger.java:31-68)."""
-    spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
+    spec = (
+        query
+        if isinstance(query, QuerySpec)
+        else parse_query(query, k=k, scorer=scorer, stopwords=index.stopwords)
+    )
     if spec.scorer == "time":
         # TIME strategy: descending insertion order over the ANSWER set
         # (FullText.collectTime iterates the filtered bitmap, :222-251),

@@ -263,7 +263,11 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
               scorer: str = "bm25", kernel: str = "auto") -> DataFrame:
     """Top-k via the per-partition packed-postings kernel + global ordered
     LIMIT. Result is rank- and score-identical to fulltext.top_k."""
-    spec = query if isinstance(query, QuerySpec) else parse_query(query, k=k, scorer=scorer)
+    spec = (
+        query
+        if isinstance(query, QuerySpec)
+        else parse_query(query, k=k, scorer=scorer, stopwords=index.stopwords)
+    )
     if (
         spec.scorer == "time"
         or spec.tree is not None

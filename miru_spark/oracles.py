@@ -58,12 +58,14 @@ def fulltext_topk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_pred: str | None = None,
+    stopwords: frozenset | None = None,
 ) -> str:
     """``extra_pred`` is an additional doc_id predicate ANDed into the final
     WHERE (before LIMIT) — used to mirror the authz mask and the removal
     index, whose label/tombstone sets the driver fixtures derive as pure
-    functions of doc_id."""
-    tok = duckdb_tokens_sql(text_col)
+    functions of doc_id. ``stopwords`` mirrors the engine's analyzer dialect
+    (the list_filter in duckdb_tokens_sql)."""
+    tok = duckdb_tokens_sql(text_col, stopwords)
     if spec.scorer == "bm25":
         contrib = (
             f"q.qtf * ln(1 + (corpus.n_docs - stats.df + 0.5) / (stats.df + 0.5)) "
