@@ -203,9 +203,15 @@ def run_suite() -> dict:
             "co-tenant contention)"
         ),
         "value": round(sum(queries.values()), 3),
+        # pinned protocol (round-3 VERDICT ask #9) — cross-round tables must
+        # compare like for like: r1/r2 `value` was single-run wall, r3+ is
+        # Σ best-of-N. Both raw and per-pass walls are always emitted.
+        "value_definition": f"sum over items of best-of-{repeats} repeat times",
+        "wall_definition": "raw wall clock of the whole suite (warmup + all repeats)",
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "wall_sec": round(total, 3),
+        "per_pass_wall": round(total / max(repeats, 1), 3),
         "repeats": repeats,
         "sf": _sf_from_dir(SF_DIR),
         "n_docs": n_docs,

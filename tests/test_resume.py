@@ -139,3 +139,20 @@ def test_loaded_gather_uses_forward_artifact(spark, documents, doc_index, built_
     got = {r["term"]: r["n_docs"] for r in df.collect()}
     want = {r["term"]: r["n_docs"] for r in fulltext.gather_terms(doc_index, "spark").collect()}
     assert got == want
+
+
+def test_loaded_tree_query_single_scan(spark, documents, doc_index, built_dirs):
+    # round 4: the nested-tree path is ONE term-pruned postings scan (single
+    # MapInArrow decode) + one groupBy — no join/union per tree node; the
+    # term predicate still reaches the packed parquet scan
+    clean_dir, _, _ = built_dirs
+    idx = load_index(spark, clean_dir, documents)
+    df = fulltext.top_k(idx, "spark AND (join OR merge) NOT window", k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan[:2000]
+    full = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in full
+    got = df.toPandas()
+    want = fulltext.top_k(doc_index, "spark AND (join OR merge) NOT window", k=20).toPandas()
+    assert list(got["doc"]) == list(want["doc"])
+    assert list(got["score"]) == list(want["score"])
