@@ -92,7 +92,7 @@ def catwalk_model(
 def strut_score(
     df: DataFrame,
     id_col: str,
-    features: dict[str, Column],
+    features: dict[str, Column | list[Column]],
     model: DataFrame,
     strategy: str = "unit_weighted",
     k: int = 100,
@@ -102,15 +102,38 @@ def strut_score(
     One broadcast join per feature (the reference's model.score point lookup,
     Strut.java:202-216); candidates whose feature value is absent from the
     model contribute 0 for that feature (the reference skips null
-    modelScores)."""
+    modelScores). Multi-valued features (array components, catwalk_model's
+    permutate shape) score each tuple instance and keep the per-feature MAX
+    across instances — exactly the reference's per-feature accumulator
+    ``score(current, update) = max(current, update)`` for all three
+    strategies (Strut.java:355-365), before finalizeScore combines across
+    features (:367-397)."""
+    from pyspark.sql.types import ArrayType
+
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy must be one of {STRATEGIES}")
     fids = sorted(features)
-    out = df.select(
-        F.col(id_col).alias("doc"),
-        *[features[fid].cast("string").alias(f"__f_{fid}") for fid in fids],
-    )
+    out = df.select(F.col(id_col).alias("doc"))
     for fid in fids:
+        comps = features[fid]
+        if not isinstance(comps, (list, tuple)):
+            comps = [comps]
+        inst = df.select(
+            F.col(id_col).alias("doc"),
+            *[c.alias(f"__c{i}") for i, c in enumerate(comps)],
+        )
+        names = [f"__c{i}" for i in range(len(comps))]
+        multi = False
+        for name in names:
+            if isinstance(inst.schema[name].dataType, ArrayType):
+                multi = True
+                inst = inst.withColumn(name, F.explode(F.array_distinct(F.col(name))))
+        fv = (
+            F.col(names[0]).cast("string")
+            if len(names) == 1
+            else F.concat_ws("\x1f", *[F.col(n).cast("string") for n in names])
+        )
+        inst = inst.select("doc", fv.alias(f"__f_{fid}"))
         m = (
             model.filter(F.col("feature_id") == fid)
             .select(
@@ -123,7 +146,21 @@ def strut_score(
                 ).alias(f"__s_{fid}"),
             )
         )
-        out = out.join(F.broadcast(m), f"__f_{fid}", "left")
+        if multi:
+            scored = (
+                inst.join(F.broadcast(m), f"__f_{fid}")
+                .groupBy("doc")
+                .agg(F.max(f"__s_{fid}").alias(f"__s_{fid}"))
+            )
+            out = out.join(scored, "doc", "left")
+        else:
+            out = out.join(
+                inst.join(F.broadcast(m), f"__f_{fid}", "left").select(
+                    "doc", f"__s_{fid}"
+                ),
+                "doc",
+                "left",
+            )
     s = [F.coalesce(F.col(f"__s_{fid}"), F.lit(0.0)) for fid in fids]
     if strategy == "unit_weighted":
         score = sum(s[1:], s[0]) / F.lit(float(len(s)))

@@ -205,27 +205,7 @@ def ivf_cosine_topk(
     dim = len(q)
 
     # deterministic sample: hash-pick ~`sample` ids, collect, k-means
-    total = emb.count()
-    frac_mod = max(1, total // sample)
-    sampled = (
-        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
-        .select(vec_col)
-        .collect()
-    )
-    X = np.asarray([r[0] for r in sampled], dtype=np.float64)
-    if len(X) < n_centroids:
-        X = np.vstack([X] * (n_centroids // max(1, len(X)) + 1))
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cent = X[rng.choice(len(X), size=n_centroids, replace=False)]
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    for _ in range(kmeans_iters):  # spherical k-means (cosine geometry)
-        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-        assign = (Xn @ cn.T).argmax(axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                cent[c] = X[m].mean(axis=0)
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cn = _train_centroids(emb, id_col, vec_col, n_centroids, sample, kmeans_iters, seed)
 
     probe = np.argsort(-(q / max(np.linalg.norm(q), 1e-12)) @ cn.T)[:nprobe]
     probe_set = set(int(c) for c in probe)
@@ -267,6 +247,159 @@ def ivf_cosine_topk(
         scan, "vec long, cosine double"
     )
     return scanned.orderBy(F.desc("cosine"), F.desc("vec")).limit(k)
+
+
+def _train_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    sample: int,
+    kmeans_iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic hash-sampled spherical k-means (driver-side numpy over
+    a tiny sample) → L2-normalized centroid matrix (n_centroids, dim)."""
+    total = emb.count()
+    frac_mod = max(1, total // sample)
+    sampled = (
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sampled], dtype=np.float64)
+    if len(X) < n_centroids:
+        X = np.vstack([X] * (n_centroids // max(1, len(X)) + 1))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ cn.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> int:
+    """Persist an IVF index: centroids (json) + the vector table written as
+    parquet PARTITIONED BY centroid — the on-disk inverted-file layout.
+
+    This is the 10^9-vector shape: at query time ``ivf_search``'s
+    ``centroid IN (probes)`` predicate is a PARTITION filter, so Spark
+    never lists, opens, or scans the other n_centroids − nprobe directory
+    trees (asserted via PartitionFilters in tests). Assignment runs as one
+    Arrow-batched matmul over the corpus; training is a driver-side
+    spherical k-means on a deterministic hash sample."""
+    import json
+    import os
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    _require_integral_id(emb, id_col)
+    dim = _vec_dim(emb, vec_col)
+    cn = _train_centroids(emb, id_col, vec_col, n_centroids, sample, kmeans_iters, seed)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vecs = np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            a = (vn @ cn.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(a), col], names=["vec", "centroid", "embedding"]
+            )
+
+    assigned = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
+        assign, f"vec long, centroid int, embedding array<{emb.schema[vec_col].dataType.elementType.simpleString()}>"
+    )
+    (
+        assigned.repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{index_dir}/vectors")
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump({"dim": dim, "centroids": cn.tolist()}, f)
+    return n_centroids
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 50,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: pick the nprobe centroids nearest the
+    query, scan ONLY their partitions (partition-pruned parquet read), exact
+    ordered-fold cosine inside them. ``nprobe == n_centroids`` is exact and
+    bit-identical to cosine_topk."""
+    import json
+    import os
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    cn = np.asarray(meta["centroids"], dtype=np.float64)
+    dim = int(meta["dim"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != dim:
+        raise ValueError(f"query dim {len(q)} != index dim {dim}")
+    probe = np.argsort(-(q / max(np.linalg.norm(q), 1e-12)) @ cn.T)[:nprobe]
+    qn = float(np.sqrt(np.sum(q**2)))
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vecs = np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+            dot = np.zeros(n, dtype=np.float64)
+            nv = np.zeros(n, dtype=np.float64)
+            for j in range(dim):  # ordered fold — oracle float parity
+                x = vecs[:, j]
+                dot += x * q[j]
+                nv += x * x
+            cos = np.round(dot / (np.sqrt(nv) * qn), 6)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(cos)], names=["vec", "cosine"]
+            )
+
+    src = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        # partition filter: only the probed centroid directories are read
+        .filter(F.col("centroid").isin([int(c) for c in probe]))
+        .select("vec", "embedding")
+    )
+    return src.mapInArrow(score, "vec long, cosine double").orderBy(
+        F.desc("cosine"), F.desc("vec")
+    ).limit(k)
 
 
 def lsh_cosine_pairs(

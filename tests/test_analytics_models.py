@@ -106,3 +106,35 @@ def test_catwalk_permutate_multivalued_features(spark):
     assert rows[("tag", "a")] == (1, 2)
     assert rows[("tag", "b")] == (1, 1)
     assert ("tag", "") not in rows or rows[("tag", "")][1] == 0
+
+
+def test_strut_multivalued_feature_takes_max_across_instances(spark):
+    # Strut.score accumulates per-feature across tuple instances with MAX
+    # (Strut.java:355-365) — a doc tagged [a, b] scores max(s_a, s_b)
+    from miru_spark.operators import models
+
+    model = spark.createDataFrame(
+        [("tag", "a", 1, 5), ("tag", "b", 4, 5), ("u", "1", 1, 2)],
+        "feature_id string, feature_value string, numerator long, denominator long",
+    )
+    cands = spark.createDataFrame(
+        [(1, ["a", "b"], 1), (2, ["a"], 1), (3, [], 2), (4, ["zzz"], 9)],
+        "doc long, tags array<string>, u long",
+    )
+    got = {
+        r["doc"]: r["score"]
+        for r in models.strut_score(
+            cands, "doc", {"tag": F.col("tags")}, model, "max", k=10
+        ).collect()
+    }
+    assert got[1] == 0.8 and got[2] == 0.2 and got[3] == 0.0 and got[4] == 0.0
+    # unit_weighted across a scalar + an array feature: (max_tag + s_u) / 2
+    got2 = {
+        r["doc"]: r["score"]
+        for r in models.strut_score(
+            cands, "doc", {"tag": F.col("tags"), "u": F.col("u")}, model,
+            "unit_weighted", k=10,
+        ).collect()
+    }
+    assert got2[1] == round((0.8 + 0.5) / 2, 6)
+    assert got2[3] == 0.0  # u=2 not in model, empty tags

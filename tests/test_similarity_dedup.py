@@ -118,3 +118,25 @@ def test_ivf_topk_recall_and_full_probe(spark, emb):
     ).toPandas()
     assert len(part) == 50
     assert len(set(part["vec"]) & truth) / len(truth) >= 0.4
+
+
+def test_ivf_persisted_index_partition_pruned_search(spark, emb, tmp_path):
+    # the on-disk inverted file: vectors parquet partitioned by centroid;
+    # search must (a) be exact at full probe, (b) PRUNE partitions at the
+    # scan for partial probe — the 10^9-vector shape
+    idx_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx_dir, n_centroids=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=50).toPandas()
+    full = similarity.ivf_search(spark, idx_dir, qv, k=50, nprobe=8).toPandas()
+    assert list(full["vec"]) == list(exact["vec"])
+    assert list(full["cosine"]) == list(exact["cosine"])
+    part = similarity.ivf_search(spark, idx_dir, qv, k=50, nprobe=2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan, plan[:1500]
+    got = part.toPandas()
+    assert len(got) == 50
+    assert len(set(got["vec"]) & set(exact["vec"])) / 50 >= 0.3
+    # wrong-dim query fails loudly
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_search(spark, idx_dir, [1.0, 2.0], k=5)
