@@ -85,6 +85,8 @@ def build_persistent(
         text_col = schema.text_field()
         if aux_fields is None:
             aux_fields = schema.aux_fields()
+        if numeric_aux_fields is None:
+            numeric_aux_fields = schema.numeric_fields()
     spark = docs_source.sparkSession
     n_parts = None
     if natural_key is not None:

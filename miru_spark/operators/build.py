@@ -858,6 +858,8 @@ def build_index(
         text_col = schema.text_field()
         if aux_fields is None:
             aux_fields = schema.aux_fields()
+        if numeric_aux_fields is None:
+            numeric_aux_fields = schema.numeric_fields()
     sc = docs_source.sparkSession.sparkContext
     n_parts = None
     if natural_key is not None:

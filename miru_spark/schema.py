@@ -56,15 +56,25 @@ def is_additive_to(new_type: str, old_type: str) -> bool:
     return False
 
 
+PREFIX_TYPES = ("none", "raw", "numeric")
+
+
 @dataclass(frozen=True)
 class MiruFieldDefinition:
     field_id: int
     name: str
     type: str = "multiTerm"
+    # MiruFieldDefinition.Prefix — term composition dialect: "numeric" fields
+    # compose via the lexicographic fixed-width encoding (termcomp.py;
+    # MiruTermComposer.Prefix.Type.numeric, MiruTermComposer.java:130-141)
+    # so field:[lo TO hi] range masks run as term-range scans
+    prefix: str = "none"
 
     def __post_init__(self):
         if self.type not in TYPES:
             raise ValueError(f"unknown field type {self.type!r}; one of {sorted(TYPES)}")
+        if self.prefix not in PREFIX_TYPES:
+            raise ValueError(f"unknown prefix type {self.prefix!r}; one of {PREFIX_TYPES}")
 
     def has_feature(self, feature: str) -> bool:
         return feature in TYPES[self.type]
@@ -103,12 +113,25 @@ class MiruSchema:
         return hits[0]
 
     def aux_fields(self) -> list[str]:
-        """Indexed single-term fields → the composite-term aux mask relation."""
+        """Indexed single-term fields → the composite-term aux mask relation
+        (numeric-prefix fields compose separately, see numeric_fields)."""
         return [
             f.name
             for f in self.fields
             if f.has_feature("indexed")
             and not f.has_feature("multiValued")
+            and f.prefix != "numeric"
+        ]
+
+    def numeric_fields(self) -> list[str]:
+        """Indexed numeric-prefix fields → lexicographic range-scannable
+        composite terms (build_index numeric_aux_fields)."""
+        return [
+            f.name
+            for f in self.fields
+            if f.has_feature("indexed")
+            and not f.has_feature("multiValued")
+            and f.prefix == "numeric"
         ]
 
     def value_bits_fields(self) -> list[str]:
@@ -129,8 +152,14 @@ def check_additive(old: MiruSchema, new: MiruSchema) -> None:
         )
     for i, of in enumerate(old.fields):
         nf = new.fields[i]
-        if (nf.name, nf.type) == (of.name, of.type):
+        if (nf.name, nf.type, nf.prefix) == (of.name, of.type, of.prefix):
             continue
+        if nf.prefix != of.prefix:
+            raise ValueError(
+                f"non-additive evolution of {old.name}.{of.name}: prefix "
+                f"{of.prefix} → {nf.prefix} changes the term composition of "
+                f"already-written postings"
+            )
         if old.name != new.name or nf.name != of.name or not is_additive_to(nf.type, of.type):
             raise ValueError(
                 f"non-additive evolution of {old.name}.{of.name}: "
@@ -159,10 +188,13 @@ def get_schema(name: str) -> MiruSchema:
     return _REGISTRY[name]
 
 
-def fields(*defs: tuple[str, str]) -> tuple[MiruFieldDefinition, ...]:
-    """Shorthand: fields(('content', 'multiTermCardinality'), ('lang', 'singleTerm'))."""
+def fields(*defs) -> tuple[MiruFieldDefinition, ...]:
+    """Shorthand: fields(('content', 'multiTermCardinality'),
+    ('lang', 'singleTerm'), ('n_chars', 'singleTermNonStored', 'numeric')) —
+    the optional third element is the Prefix type."""
     return tuple(
-        MiruFieldDefinition(i, name, typ) for i, (name, typ) in enumerate(defs)
+        MiruFieldDefinition(i, d[0], d[1], d[2] if len(d) > 2 else "none")
+        for i, d in enumerate(defs)
     )
 
 

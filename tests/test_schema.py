@@ -104,3 +104,55 @@ def test_schema_missing_field_rejected(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="missing from"):
         build_index(df, dense_id_col="text", capacity=8, schema=S.DOCUMENTS_SCHEMA)
+
+
+def test_numeric_prefix_fields_drive_range_scannable_aux(spark, documents):
+    # a numeric-prefix schema field lands in numeric_aux_fields and makes
+    # field:[lo TO hi] work through the schema-driven build
+    from miru_spark.filters import parse_query
+    from miru_spark.operators import fulltext
+    from miru_spark.operators.build import build_index
+
+    sch = S.MiruSchema(
+        "documents_num",
+        1,
+        S.fields(
+            ("text", "multiTermCardinality"),
+            ("lang", "singleTerm"),
+            ("n_chars", "singleTermNonStored", "numeric"),
+        ),
+    )
+    assert sch.numeric_fields() == ["n_chars"]
+    assert "n_chars" not in sch.aux_fields()
+    idx = build_index(documents, dense_id_col="doc_id", capacity=256, schema=sch)
+    got = {
+        r["doc"]
+        for r in fulltext.top_k(
+            idx, parse_query("spark AND n_chars:[200 TO 400]", k=1000)
+        ).collect()
+    }
+    pdf = documents.toPandas()
+    import re as _re
+
+    want = {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if "spark" in set(x for x in _re.split(r"[^a-z0-9_']+", r.text.lower()) if x)
+        and 200 <= r.n_chars <= 400
+    }
+    assert got == want and len(want) > 0
+    idx.unpersist()
+    # prefix change is a non-additive evolution
+    import pytest as _pytest
+
+    changed = S.MiruSchema(
+        "documents_num",
+        2,
+        S.fields(
+            ("text", "multiTermCardinality"),
+            ("lang", "singleTerm"),
+            ("n_chars", "singleTermNonStored"),
+        ),
+    )
+    with _pytest.raises(ValueError, match="prefix"):
+        S.check_additive(sch, changed)
