@@ -84,6 +84,63 @@ def streaming_sip_dedup(
     )
 
 
+def streaming_unread(
+    stream: DataFrame,
+    stream_col: str,
+    doc_col: str,
+    kind_col: str = "kind",
+    seq_col: str | None = None,
+):
+    """Incremental unread tracking — the reference's MiruUnreadTrackingIndex
+    maintained as a custom stateful streaming operator: ``applyUnread``
+    (an inbox append sets the doc's unread bit) and ``applyRead`` (a read
+    event clears every unread doc ≤ its watermark)
+    (m-plugin/index/MiruUnreadTrackingIndex.java).
+
+    Input rows: ``kind_col`` = 'add' (doc appended to the stream's inbox) or
+    'read' (``doc_col`` = the read watermark — docs ≤ it become read).
+    ``seq_col`` orders events within a batch (defaults to doc order).
+    Per-key GroupState = the unread doc-id array + the read watermark —
+    bounded by the stream's inbox size, exactly like the reference's
+    per-stream bitmap. Emits one row per (stream, batch): the unread count
+    and watermark after the batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        if state.exists:
+            unread_list, last_read = state.get
+            unread = np.array(unread_list, dtype=np.int64)
+        else:
+            unread, last_read = np.empty(0, dtype=np.int64), -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        order = rows[seq_col] if seq_col else rows[doc_col]
+        rows = rows.iloc[np.argsort(order.to_numpy(), kind="stable")]
+        for kind, doc in zip(rows[kind_col], rows[doc_col]):
+            if kind == "read":
+                last_read = max(last_read, int(doc))
+                unread = unread[unread > last_read]
+            elif int(doc) > last_read:
+                unread = np.union1d(unread, np.int64(doc))
+        state.update(([int(x) for x in unread], int(last_read)))
+        yield pd.DataFrame(
+            {
+                "stream": [key[0]],
+                "n_unread": [len(unread)],
+                "last_read": [int(last_read)],
+            }
+        )
+
+    return stream.groupBy(stream_col).applyInPandasWithState(
+        track,
+        "stream string, n_unread long, last_read long",
+        "unread array<long>, last_read long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_index_sip(
     spark: SparkSession,
     source_path: str,

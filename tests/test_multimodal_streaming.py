@@ -195,3 +195,58 @@ def test_compressed_formats_still_fake(spark):
     got, want = _decode_image(payload), _decode_image_fake(payload)
     assert got[:2] == want[:2]
     np.testing.assert_array_equal(got[2], want[2])
+
+
+def test_streaming_unread_tracker(spark, tmp_path):
+    # MiruUnreadTrackingIndex applyUnread/applyRead as a stateful streaming
+    # op: two micro-batches, state (unread set + watermark) carries across
+    import pandas as pd
+
+    from miru_spark.streaming.windowed import streaming_unread
+
+    stream_dir = tmp_path / "inbox_stream"
+    stream_dir.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "stream": ["u1"] * 4 + ["u2"],
+            "doc": [1, 2, 3, 4, 9],
+            "kind": ["add"] * 5,
+            "seq": [1, 2, 3, 4, 5],
+        }
+    )
+    b1.to_parquet(stream_dir / "batch1.parquet")
+    schema = spark.read.parquet(str(stream_dir / "batch1.parquet")).schema
+    src = spark.readStream.format("parquet").schema(schema).load(str(stream_dir))
+    q = (
+        streaming_unread(src, "stream", "doc", "kind", "seq")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unread_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["stream"]: (r["n_unread"], r["last_read"])
+            for r in spark.sql("SELECT * FROM unread_out").collect()
+        }
+        assert got["u1"] == (4, -1) and got["u2"] == (1, -1)
+        # batch 2: u1 reads through doc 2 then gets doc 5; a late doc 1 add
+        # must NOT resurface as unread (it is behind the watermark)
+        b2 = pd.DataFrame(
+            {
+                "stream": ["u1", "u1", "u1"],
+                "doc": [2, 5, 1],
+                "kind": ["read", "add", "add"],
+                "seq": [1, 2, 3],
+            }
+        )
+        b2.to_parquet(stream_dir / "batch2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM unread_out WHERE stream = 'u1' ORDER BY last_read DESC"
+        ).collect()
+        # latest state row: unread = {3, 4, 5}, watermark 2
+        assert (rows[0]["n_unread"], rows[0]["last_read"]) == (3, 2)
+    finally:
+        q.stop()
