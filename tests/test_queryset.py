@@ -55,3 +55,27 @@ def test_queryset_rank_identical_to_oracle(qset, doc_index, duck):
         ):
             failures.append(rec["qid"] + " " + rec["query"])
     assert not failures, f"{len(failures)}/50 mismatched: {failures[:5]}"
+
+
+def test_queryset_wand_kernel_parity(qset, doc_index):
+    # the packed-postings kernels (block-max WAND pinned) must return the
+    # SAME ids and scores as the DataFrame path (itself oracle-identical
+    # above) for every flat query in the set — sweep coverage for the
+    # kernel, not just the two gated specs
+    from miru_spark.operators import wand as wand_ops
+
+    failures = []
+    for rec in qset:
+        spec = parse_query(rec["query"], k=rec["k"], scorer=rec["scorer"])
+        if spec.tree is not None:
+            continue  # nested specs delegate by design
+        df_path = fulltext.top_k(doc_index, spec).toPandas().reset_index(drop=True)
+        spec2 = parse_query(rec["query"], k=rec["k"], scorer=rec["scorer"])
+        kern = wand_ops.wand_topk(doc_index, spec2, kernel="wand").toPandas().reset_index(drop=True)
+        if not (
+            len(df_path) == len(kern)
+            and df_path["doc"].astype("int64").equals(kern["doc"].astype("int64"))
+            and df_path["score"].astype("float64").equals(kern["score"].astype("float64"))
+        ):
+            failures.append(rec["qid"] + " " + rec["query"])
+    assert not failures, f"{len(failures)} kernel mismatches: {failures[:5]}"
