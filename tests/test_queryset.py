@@ -79,3 +79,31 @@ def test_queryset_wand_kernel_parity(qset, doc_index):
         ):
             failures.append(rec["qid"] + " " + rec["query"])
     assert not failures, f"{len(failures)} kernel mismatches: {failures[:5]}"
+
+
+def test_queryset_loaded_index_parity(qset, doc_index, documents, spark, tmp_path_factory):
+    # the PERSISTED/lazy path (term-pruned packed decode) answers a spread
+    # of the query set identically to the in-memory build — one query of
+    # each shape class plus extras, not just the smoke probes
+    from miru_spark.index_store import build_persistent, load_index
+
+    idx_dir = str(tmp_path_factory.mktemp("qs_idx") / "idx")
+    build_persistent(
+        documents, idx_dir, text_col="text", dense_id_col="doc_id",
+        capacity=128, wave_size=16,
+    )
+    loaded = load_index(spark, idx_dir)
+    picked = [r for i, r in enumerate(qset) if i % 4 == 0]  # 13 across kinds
+    failures = []
+    for rec in picked:
+        spec = parse_query(rec["query"], k=rec["k"], scorer=rec["scorer"])
+        a = fulltext.top_k(doc_index, spec).toPandas().reset_index(drop=True)
+        spec2 = parse_query(rec["query"], k=rec["k"], scorer=rec["scorer"])
+        b = fulltext.top_k(loaded, spec2).toPandas().reset_index(drop=True)
+        if not (
+            len(a) == len(b)
+            and a["doc"].astype("int64").equals(b["doc"].astype("int64"))
+            and a["score"].astype("float64").equals(b["score"].astype("float64"))
+        ):
+            failures.append(rec["qid"] + " " + rec["query"])
+    assert not failures, f"loaded-index mismatches: {failures}"
