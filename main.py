@@ -94,6 +94,30 @@ def cmd_query(args) -> None:
     print(json.dumps({"query": args.q, "scorer": args.scorer, "k": args.k, "results": rows}))
 
 
+def cmd_gen_queries(args) -> None:
+    """Materialize the FIXTURES.md reference query set from a source table's
+    vocabulary (seeded, deterministic)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.queryset import generate_queries
+    from miru_spark.sources import read_source
+    from miru_spark.tokenize import tokens_col
+
+    spark = _spark("miru_gen_queries")
+    src = read_source(spark, args.input, "auto")
+    stats = (
+        src.select(F.explode(F.array_distinct(tokens_col(args.text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    qset = generate_queries([(r["term"], int(r["df"])) for r in stats], seed=args.seed)
+    with open(args.out, "w") as f:
+        for rec in qset:
+            f.write(json.dumps(rec) + "\n")
+    print(json.dumps({"queries": len(qset), "out": args.out}))
+
+
 def cmd_gen_corpus(args) -> None:
     from miru_spark.corpus import materialize_corpus
 
@@ -162,6 +186,13 @@ def main() -> None:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--out", required=True)
     g.set_defaults(fn=cmd_gen_corpus)
+
+    gq = sub.add_parser("gen-queries")
+    gq.add_argument("--input", required=True, help="source table (vocabulary donor)")
+    gq.add_argument("--text-col", default="content")
+    gq.add_argument("--out", required=True, help="queries.jsonl path")
+    gq.add_argument("--seed", type=int, default=42)
+    gq.set_defaults(fn=cmd_gen_queries)
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)
