@@ -121,3 +121,76 @@ def test_arrow_tokenizer_matches_catalyst(doc_index):
     a = doc_index.flat.orderBy("part", "term", "doc_id").toPandas()
     b = catalyst.orderBy("part", "term", "doc_id").toPandas()
     assert a.equals(b)
+
+
+def test_tree_combination_paranoia_sweep(doc_index, documents):
+    # interactions the single-scan tree evaluator must get right: field
+    # masks inside nesting, negated groups, numeric ranges, OR-of-masks,
+    # plus timeRange/constraints layered on top — checked against a pandas
+    # brute force doc-set (scores are covered by the oracle sweeps)
+    import re as _re
+
+    from miru_spark.filters import Leaf
+
+    pdf = documents.toPandas()
+    toks = {
+        int(r.doc_id): set(
+            x for x in _re.split(r"[^a-z0-9_']+", r.text.lower()) if x
+        )
+        for r in pdf.itertuples()
+    }
+    meta = {int(r.doc_id): r for r in pdf.itertuples()}
+
+    cases = [
+        (
+            "lang:fr AND (spark OR join) NOT merge",
+            lambda d: meta[d].lang == "fr"
+            and ("spark" in toks[d] or "join" in toks[d])
+            and "merge" not in toks[d],
+            {},
+        ),
+        (
+            "(lang:fr OR lang:en) AND spark",
+            lambda d: meta[d].lang in ("fr", "en") and "spark" in toks[d],
+            {},
+        ),
+        (
+            "spark AND n_chars:[100 TO 300] NOT lang:de",
+            lambda d: "spark" in toks[d]
+            and 100 <= meta[d].n_chars <= 300
+            and meta[d].lang != "de",
+            {},
+        ),
+        (
+            "(spark OR vector) AND (join OR merge)",
+            lambda d: ("spark" in toks[d] or "vector" in toks[d])
+            and ("join" in toks[d] or "merge" in toks[d]),
+            {},
+        ),
+        (
+            "spark AND (join OR merge)",
+            lambda d: "spark" in toks[d]
+            and ("join" in toks[d] or "merge" in toks[d])
+            and 50 <= d <= 400
+            and meta[d].source == "src3",
+            dict(time_range=(50, 400), constraints=[Leaf("src3", "source")]),
+        ),
+    ]
+    # the doc_index fixture has aux lang/source; numeric n_chars needs a
+    # numeric-aux build — reuse one index for all cases
+    from miru_spark.operators.build import build_index
+
+    idx = build_index(
+        documents, text_col="text", dense_id_col="doc_id", capacity=128,
+        hot_df_threshold=64, aux_fields=["lang", "source"],
+        numeric_aux_fields=["n_chars"],
+    )
+    try:
+        for q, pred, kw in cases:
+            spec = parse_query(q, k=1000, **kw)
+            got = {r["doc"] for r in fulltext.top_k(idx, spec).collect()}
+            want = {d for d in toks if pred(d)}
+            assert got == want, (q, len(got), len(want), got ^ want)
+            assert want, f"vacuous case: {q}"
+    finally:
+        idx.unpersist()
