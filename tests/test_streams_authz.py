@@ -95,3 +95,14 @@ def test_inbox_and_unread(spark):
             ev, "stream", "u1", "event", read_docs=read, last_read=1
         ).collect()
     } == {2, 4}
+
+
+def test_tree_query_with_authz(authz_index):
+    # authz folds into the single-scan tree evaluator as OR'd label flags
+    spec = parse_query("spark AND (join OR merge)", k=10)
+    spec.authz = ["team_a"]
+    got = {r["doc"] for r in fulltext.top_k(authz_index, spec).collect()}
+    # docs 0 (join, team_a) and 2 (merge, team_a+b) qualify; 1 is team_b
+    assert got == {0, 2}
+    spec.authz = []
+    assert fulltext.top_k(authz_index, spec).count() == 0
