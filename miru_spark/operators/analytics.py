@@ -53,6 +53,7 @@ def aggregate_counts(
     doc_col: str | None = None,
     cursor=None,
     page_size: int | None = None,
+    unread_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group stream rollup — the full AggregateCounts surface
     (miru-stream-plugins/.../filter/AggregateCounts.java:90-397): count,
@@ -61,7 +62,12 @@ def aggregate_counts(
     tie-broken by (ts, doc) so the pick is total-ordered. Pagination is a
     keyset cursor over group_value (the reference's resumable report):
     ``cursor`` = last group of the previous page, ``page_size`` = page rows.
-    """
+
+    ``unread_docs`` (a relation with a ``doc`` column — e.g.
+    streams.unread's output) adds the per-group ``n_unread`` /
+    ``any_unread`` columns: the reference's unread-bit logic ANDs the
+    caller's unread stream bitmap into each group's count (:183-201).
+    Requires ``doc_col``."""
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min(ts_col).alias("oldest_ts"),
@@ -71,6 +77,21 @@ def aggregate_counts(
         order = F.struct(F.col(ts_col), F.col(doc_col))
         aggs.append(F.max_by(F.col(doc_col), order).alias("latest_doc"))
         aggs.append(F.min_by(F.col(doc_col), order).alias("oldest_doc"))
+    if unread_docs is not None:
+        if doc_col is None:
+            raise ValueError("unread_docs requires doc_col")
+        df = df.join(
+            unread_docs.select(F.col("doc").alias(doc_col)).distinct()
+            .withColumn("_unread", F.lit(True)),
+            doc_col,
+            "left",
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_unread"), 1).otherwise(0)).cast("long").alias("n_unread")
+        )
+        aggs.append(
+            F.max(F.coalesce(F.col("_unread"), F.lit(False))).alias("any_unread")
+        )
     out = df.groupBy(F.col(group_field).alias("group_value")).agg(*aggs)
     if cursor is not None:
         out = out.filter(F.col("group_value") > cursor)

@@ -138,3 +138,29 @@ def test_strut_multivalued_feature_takes_max_across_instances(spark):
     }
     assert got2[1] == round((0.8 + 0.5) / 2, 6)
     assert got2[3] == 0.0  # u=2 not in model, empty tags
+
+
+def test_aggregate_counts_unread_flags(spark):
+    # AggregateCounts.java:183-201: the caller's unread mask ANDs into each
+    # group — n_unread / any_unread per group_value
+    from miru_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 01:00:00", "a"),
+            (3, "2024-01-01 02:00:00", "b"),
+            (4, "2024-01-01 03:00:00", "c"),
+        ],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    unread = spark.createDataFrame([(2,), (3,)], "doc long")
+    got = {
+        r["group_value"]: (r["n"], r["n_unread"], r["any_unread"], r["latest_doc"])
+        for r in analytics.aggregate_counts(
+            ev, "event_type", "ts", doc_col="event_id", unread_docs=unread
+        ).collect()
+    }
+    assert got["a"] == (2, 1, True, 2)
+    assert got["b"] == (1, 1, True, 3)
+    assert got["c"] == (1, 0, False, 4)
