@@ -90,3 +90,20 @@ def test_numeric_range_standalone_and_negated(docs, num_index):
         if "spark" in tok(r.text) and not r.n_chars <= 299
     }
     assert got == want
+
+
+def test_numeric_composite_order_property():
+    # lexicographic ≡ numeric over the full nonnegative long range
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 62)),
+        st.integers(min_value=0, max_value=(1 << 62)),
+    )
+    def prop(a, b):
+        ea, eb = numeric_composite_py("f", a), numeric_composite_py("f", b)
+        assert (a < b) == (ea < eb) and (a == b) == (ea == eb)
+
+    prop()
