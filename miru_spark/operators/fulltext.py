@@ -588,9 +588,15 @@ def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str 
 
 def gather(index: IndexHandle, winners: DataFrame, gather_cols: list[str]) -> DataFrame:
     """Join winners back to stored fields — after LIMIT, so materialization
-    is lazy like the reference's Promise gather (FullText.java:253-280)."""
-    return winners.join(index.docs, winners["doc"] == index.docs["doc_key"], "left").select(
-        "doc", "score", *gather_cols
+    is lazy like the reference's Promise gather (FullText.java:253-280).
+
+    The ≤k winners side carries an explicit broadcast hint (docs is the
+    100 TB table; winners must always be the build side — right-outer with
+    the broadcast left preserves every winner even if a doc row vanished)."""
+    return (
+        index.docs.join(
+            F.broadcast(winners), index.docs["doc_key"] == winners["doc"], "right"
+        ).select("doc", "score", *gather_cols)
     )
 
 

@@ -77,6 +77,20 @@ def test_scorer_broadcasts_small_sides(doc_index):
     assert "SortMergeJoin" not in plan.split("doc_key")[0] or True  # stats+q broadcast
 
 
+def test_gather_broadcasts_winners_side(doc_index):
+    """The post-LIMIT winners→docs gather must be a BroadcastHashJoin with
+    the ≤k winners as build side — on a 100 TB docs table a shuffle join
+    here would move the whole table to fetch k rows."""
+    from miru_spark.operators import fulltext
+
+    winners = fulltext.top_k(doc_index, "spark AND join", k=20)
+    gathered = fulltext.gather(doc_index, winners, ["lang", "source"])
+    plan = gathered._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # every winner survives even without a matching doc row (right outer)
+    assert gathered.count() == winners.count()
+
+
 def test_sort_strategy_byte_identical_to_hash_agg(spark, documents):
     """The streaming sort-based pack (default) must produce byte-identical
     posting lists to the hash-agg + salting path."""
