@@ -105,6 +105,87 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QUERY_VEC_CACHE[sf_dir]
 
 
+def _ivf_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A PERSISTED IVF index (centroid-partitioned parquet) built once per
+    session — the production ANN shape: no per-query training or corpus
+    count; probes are partition filters on the on-disk inverted file."""
+    key = f"{id(spark)}:{sf_dir}:ivf"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}")
+        similarity.build_ivf_index(
+            _emb(spark, sf_dir), "vec_id", "embedding", d, n_centroids=16
+        )
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def _sip_dedup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming WAL sip-dedup operator (applyInPandasWithState)
+    end-to-end over a deterministic two-batch replayed stream derived from
+    the events table, and return the emitted rows as a DataFrame.
+
+    Fixture: key = user_id, version = event_id DIV 10 (coarse, so replays
+    collide). Batch 1 = events with event_id < 5000; batch 2 = ALL events
+    (a full WAL replay). The per-key state must suppress every batch-2 row
+    whose version doesn't exceed the key's batch-1 maximum — exactly
+    MiruSipTracker's seen-set semantics, SQL-expressible for the oracle.
+    (Fixture prep is driver-side pandas over the 10k-row events table; the
+    operator under test is the distributed stateful stream itself.)"""
+    key = f"{id(spark)}:{sf_dir}:sipdedup"
+    if key not in _INDEX_CACHE:
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from miru_spark.streaming.windowed import streaming_sip_dedup
+
+        work = tempfile.mkdtemp(prefix="miru_sip_")
+        src = os.path.join(work, "wal")
+        os.makedirs(src)
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(
+                F.col("user_id").cast("long"),
+                (F.col("event_id") / 10).cast("long").alias("ver"),
+                F.col("event_id").cast("long"),
+            )
+            .toPandas()
+        )
+        b1 = ev[ev["event_id"] < 5000][["user_id", "ver"]]
+        b2 = ev[["user_id", "ver"]]
+        for i, (name, pdf) in enumerate([("0_batch1", b1), ("1_batch2", b2)]):
+            p = os.path.join(src, f"{name}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+            os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema("user_id long, ver long")
+            .option("maxFilesPerTrigger", "1")  # one micro-batch per WAL file
+            .parquet(src)
+        )
+        qname = f"sipdedup_{abs(hash(key)) % 10**9}"
+        q = (
+            streaming_sip_dedup(stream, "user_id", "ver")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [(int(r["user_id"]), int(r["ver"])) for r in spark.table(qname).collect()]
+        shutil.rmtree(work, ignore_errors=True)
+        _INDEX_CACHE[key] = spark.createDataFrame(
+            rows, "stream long, version long"
+        ).cache()
+    return _INDEX_CACHE[key]
+
+
 def _loaded_index(spark: SparkSession, sf_dir: str):
     """A PERSISTED index built via index_store.build_persistent and reopened
     with load_index — the lazy/loaded query path (term-pruned packed decode,
@@ -161,7 +242,9 @@ _FULLTEXT = {
     "fulltext_bm25_and3": ("spark join merge", "bm25"),
     "fulltext_bm25_andnot": ("merge NOT window", "bm25"),
     "fulltext_bm25_prefix": ("s*", "bm25"),
-    "fulltext_tfidf_single": ("spark", "miru_tfidf"),
+    # round-5 retirement: fulltext_tfidf_single — the miru_tfidf scorer stays
+    # covered by tests/test_fulltext.py (exact-formula vs DuckDB) and the
+    # bench q_tfidf item; its slot gates the streaming sip-dedup operator.
 }
 
 # nested / field-scoped / masked query set (round 2): every spec carries a
@@ -183,8 +266,9 @@ _FULLTEXT_SPECS = {
     "fulltext_nested_bool": dict(q="spark AND (join OR merge) NOT window"),
     # named-field mask AND scored content term (MiruFieldFilter)
     "fulltext_field_lang": dict(q="lang:fr AND spark"),
-    # nested OR across a field mask and a scored term (score-0 candidates)
-    "fulltext_field_or": dict(q="dup OR source:src3"),
+    # round-5 retirement: fulltext_field_or (OR across field mask + scored
+    # term) — the aux-leaf OR path stays exercised by fulltext_nested_bool's
+    # tree evaluator + tests/test_fulltext.py; its slot gates stream_inbox.
     # FullTextQuery.timeRange — inclusive doc_key range
     "fulltext_bm25_timerange": dict(q="spark OR join", time_range=(100, 400)),
     # FullTextQuery.constraintsFilter — extra ANDed field mask
@@ -283,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fulltext_removal"] = _removal_query
+    # MiruInboxIndex: the per-stream inbox doc set (streams.inbox is also the
+    # base relation of stream_unread; gated in its own right, round 5)
+    q["stream_inbox"] = lambda s, d: streams.inbox(_events(s, d), "user_id", 1, "event_id")
+    # streaming WAL sip dedup (MiruSipTracker) — availableNow two-batch
+    # replay through applyInPandasWithState; see _sip_dedup_result
+    q["streaming_sip_dedup"] = _sip_dedup_result
     q["stream_unread"] = lambda s, d: streams.unread(
         _events(s, d),
         "user_id",
@@ -292,12 +382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("event_id") % 2 == 0)
         .select(F.col("event_id").alias("doc")),
     )
-    # IVF ANN with nprobe == n_centroids degrades to exact brute force
-    # (bit-identical to cosine_topk — asserted in tests), so the ANN index
-    # is oracle-gateable; partial-probe recall is pytest-gated
-    q["ivf_cosine_topk"] = lambda s, d: similarity.ivf_cosine_topk(
-        _emb(s, d), "vec_id", "embedding", _query_vec(s, d),
-        k=50, n_centroids=16, nprobe=16,
+    # IVF ANN over the PERSISTED centroid-partitioned index (round 5: swapped
+    # from the in-memory per-call variant, which re-trained centroids per
+    # query — wrong at production scale). nprobe == n_centroids degrades to
+    # exact brute force (bit-identical ordered-fold cosine — asserted in
+    # tests), so the ANN index is oracle-gateable; partial-probe recall and
+    # the PartitionFilters pruning assertion are pytest-gated.
+    q["ivf_search_topk"] = lambda s, d: similarity.ivf_search(
+        s, _ivf_dir(s, d), _query_vec(s, d), k=50, nprobe=16
     )
 
     # training-data operators that fell outside round 2's gated window —
@@ -465,12 +557,31 @@ def oracle_sql() -> dict[str, str]:
     o["fulltext_removal"] = oracles.fulltext_topk_sql(
         parse_query("spark OR join", k=100), extra_pred="doc_id % 7 <> 0"
     )
+    o["stream_inbox"] = """
+SELECT DISTINCT event_id AS doc FROM events WHERE user_id = 1
+"""
+    # the sip-dedup emission set: batch-1 distinct (key, version) pairs plus
+    # batch-2 pairs whose version exceeds the key's batch-1 max (replays and
+    # stale versions suppressed by the per-key state) — see _sip_dedup_result
+    o["streaming_sip_dedup"] = """
+WITH src AS (SELECT user_id, event_id // 10 AS ver, event_id FROM events),
+b1 AS (SELECT DISTINCT user_id, ver FROM src WHERE event_id < 5000),
+m AS (SELECT user_id, max(ver) AS mx FROM b1 GROUP BY 1),
+b2 AS (SELECT DISTINCT user_id, ver FROM src),
+out2 AS (
+  SELECT b2.user_id, b2.ver FROM b2 LEFT JOIN m ON b2.user_id = m.user_id
+  WHERE b2.ver > coalesce(m.mx, -1)
+)
+SELECT user_id AS stream, ver AS version FROM b1
+UNION ALL
+SELECT user_id AS stream, ver AS version FROM out2
+"""
     o["stream_unread"] = """
 SELECT DISTINCT event_id AS doc FROM events
 WHERE user_id = 1 AND event_id % 2 <> 0
 """
     # nprobe == n_centroids ⇒ exact (bit-identical ordered-fold scores)
-    o["ivf_cosine_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
+    o["ivf_search_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
 
     o["term_stats"] = oracles.term_stats_sql(limit=100)
     o["corpus_stats"] = oracles.doc_stats_sql()
