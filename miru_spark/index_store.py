@@ -36,10 +36,12 @@ from miru_spark.checkpoint import Manifest
 from miru_spark.operators import build as B
 
 # Bumped whenever the on-disk layout changes (e.g. the first_id packed column,
-# per-wave forward flags). Part of the fingerprint, so an index written by
+# per-wave forward flags; v3: removed/ stores (part, doc_id, doc_key) instances
+# so version repair can tombstone the OLD instance of a doc_key without
+# masking its replacement). Part of the fingerprint, so an index written by
 # older code forces a clean rebuild instead of mixing schemas across waves;
 # load_index refuses older dirs outright.
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 @dataclass
@@ -246,9 +248,209 @@ def remove_docs(spark: SparkSession, index_dir: str, doc_keys: list[int]) -> int
         manifest = json.load(f)
     if not manifest["stages"].get("ready"):
         raise ValueError(f"index at {index_dir} is not ready — build it first")
-    df = spark.createDataFrame([(int(k),) for k in doc_keys], "doc_key long")
-    df.coalesce(1).write.mode("append").parquet(f"{index_dir}/removed")
+    keys = spark.createDataFrame([(int(k),) for k in doc_keys], "doc_key long")
+    # tombstones are INSTANCES (part, doc_id, doc_key), resolved against the
+    # doc-length relation at write time: after a version repair the same
+    # doc_key has a live replacement instance, and removing the key then
+    # tombstones BOTH (delete-after-repair = doc fully gone)
+    inst = (
+        spark.read.parquet(f"{index_dir}/doclens/wave=*")
+        .select("part", "doc_id", "doc_key")
+        .join(F.broadcast(keys), "doc_key", "left_semi")
+    )
+    inst.coalesce(1).write.mode("append").parquet(f"{index_dir}/removed")
     return len(doc_keys)
+
+
+def upsert_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    doc_key_col: str | None = None,
+    merge_partitions: int | None = None,
+) -> dict:
+    """Version repair on a persisted index — MiruIndexer.set for a doc that
+    arrives with a higher version (m-service/stream/MiruIndexer.java:128-162):
+    the old content must vanish from every answer and the new content must
+    index, while posting segments stay IMMUTABLE.
+
+    Batch restatement: (1) tombstone the doc_key's existing instance(s) via
+    the removal index (``removed/`` (part, doc_id, doc_key) rows), (2) append
+    a REPAIR WAVE of fresh (part, doc_id) identities carrying the SAME
+    doc_key with the new content (parts numbered beyond the build's range so
+    identities never collide), (3) re-run the term-range merge over all
+    segments and write stats CORRECTED by subtracting the tombstoned
+    instances' per-term contributions (from the forward index — the repair
+    set is small, so this is a pruned semi-join, never a corpus rescan).
+    After repair, query results equal a fresh build over the repaired corpus
+    (asserted in tests/test_resume.py).
+
+    ``doc_key_col`` defaults to the build's dense id column; a natural-key
+    index must pass resolved doc_keys explicitly. Unknown doc_keys are pure
+    inserts (the reference's set-with-no-prior). Repair batches are expected
+    ≪ capacity (the reference repairs doc-at-a-time); the old-instance set is
+    collected driver-side to pin the pre-repair doclens listing."""
+    import json
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        mdata = json.load(f)
+    if not mdata["stages"].get("ready"):
+        raise ValueError(f"index at {index_dir} is not ready — build it first")
+    fp = mdata["fingerprint"]
+    if fp.get("format_version") != FORMAT_VERSION:
+        raise ValueError(f"index format {fp.get('format_version')} != {FORMAT_VERSION}")
+    text_col = fp["text_col"]
+    capacity = int(fp["capacity"])
+    stopwords = frozenset(fp["stopwords"].split(",")) if fp.get("stopwords") else None
+    aux_fields = [c for c in fp.get("aux", "").split(",") if c]
+    num_aux = [c for c in fp.get("num_aux", "").split(",") if c]
+    key_col = doc_key_col or fp["id"]
+    if not key_col or "," in key_col:
+        raise ValueError(
+            "natural-key index: pass doc_key_col with pre-resolved doc_keys"
+        )
+
+    rep = new_docs.withColumn("content_sha", B.content_sha_col(text_col)).withColumn(
+        "doc_key", F.col(key_col).cast("long")
+    )
+    n_rep = rep.count()
+    if n_rep == 0:
+        return {"repaired": 0, "inserted": 0, "wave": None}
+    if rep.select("doc_key").distinct().count() != n_rep:
+        raise ValueError("upsert batch has duplicate doc_keys")
+
+    # pin the PRE-repair doclens listing: the old instances must be resolved
+    # (and collected) before the repair wave lands in the same glob
+    lens_old = spark.read.parquet(f"{index_dir}/doclens/wave=*")
+    old_inst = (
+        lens_old.select("part", "doc_id", "doc_key")
+        .join(F.broadcast(rep.select("doc_key")), "doc_key", "left_semi")
+        .collect()
+    )
+    max_part = lens_old.agg(F.max("part")).collect()[0][0] or 0
+    repair_base = int(max_part) + 1
+    wave_id = max((int(k) for k in mdata["waves"]), default=-1) + 1
+
+    if old_inst:
+        spark.createDataFrame(
+            [(r["part"], r["doc_id"], r["doc_key"]) for r in old_inst],
+            "part int, doc_id int, doc_key long",
+        ).coalesce(1).write.mode("append").parquet(f"{index_dir}/removed")
+
+    n_rep_parts = max(1, -(-n_rep // capacity))
+    rep = rep.withColumn(
+        "part",
+        (F.lit(repair_base) + F.pmod(F.xxhash64("doc_key"), F.lit(n_rep_parts))).cast("int"),
+    )
+    w = Window.partitionBy("part").orderBy("doc_key")
+    rep = rep.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")).cache()
+
+    flat = B.flat_postings(rep, text_col, stopwords)
+    packed = B.packed_from_flat(flat)
+    (
+        packed.repartition("part")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/segments/wave={wave_id}")
+    )
+    B.doc_meta(rep, flat).write.mode("overwrite").parquet(
+        f"{index_dir}/doclens/wave={wave_id}"
+    )
+    if fp.get("forward"):
+        (
+            B.unpack_postings(spark.read.parquet(f"{index_dir}/segments/wave={wave_id}"))
+            .repartition("part")
+            .sortWithinPartitions("part", "doc_id", "term")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/forward/wave={wave_id}")
+        )
+    if aux_fields or num_aux:
+        missing = [c for c in aux_fields + num_aux if c not in rep.columns]
+        if missing:
+            raise ValueError(f"upsert docs missing indexed aux fields: {missing}")
+        B.aux_postings(rep, aux_fields, num_aux).coalesce(1).write.mode("append").parquet(
+            f"{index_dir}/aux"
+        )
+
+    # merge + corrected stats: subtract the tombstoned instances' per-term
+    # (df, Σtf) via the forward index (partition-pruned semi-join) — without
+    # this the repaired terms double-count and BM25 diverges from a fresh
+    # build over the repaired corpus. Plain remove_docs deliberately does NOT
+    # adjust stats (reference keeps global cells; the removal oracle models
+    # that); repair must, because the replacement re-contributes.
+    all_segments = spark.read.parquet(f"{index_dir}/segments/wave=*")
+    n_merge = merge_partitions or max(4, spark.sparkContext.defaultParallelism)
+    (
+        all_segments.repartitionByRange(n_merge, "term", "part")
+        .sortWithinPartitions("term", "part")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    stats = B.term_stats(all_segments.select("term", "df_part", "cum_tf_part"))
+    if old_inst:
+        if fp.get("forward"):
+            old_parts = sorted({r["part"] for r in old_inst})
+            old_df = spark.createDataFrame(
+                [(r["part"], r["doc_id"]) for r in old_inst], "part int, doc_id int"
+            )
+            rm_flat = (
+                spark.read.parquet(f"{index_dir}/forward/wave=*")
+                .filter(F.col("part").isin(old_parts))
+                .join(F.broadcast(old_df), ["part", "doc_id"], "left_semi")
+            )
+            rm_stats = rm_flat.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df_rm"), F.sum("tf").alias("cum_tf_rm")
+            )
+            stats = (
+                stats.join(F.broadcast(rm_stats), "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce("df_rm", F.lit(0))).alias("df"),
+                    (F.col("cum_tf") - F.coalesce("cum_tf_rm", F.lit(0))).alias("cum_tf"),
+                )
+                .filter(F.col("df") > 0)
+            )
+        else:
+            raise ValueError(
+                "upsert on a forward_index=False build cannot correct term "
+                "stats without a corpus rescan — rebuild with forward_index=True"
+            )
+    stats.coalesce(4).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+    # live corpus stats (all instances minus tombstones)
+    live = spark.read.parquet(f"{index_dir}/doclens/wave=*")
+    if os.path.isdir(os.path.join(index_dir, "removed")):
+        live = live.join(
+            spark.read.parquet(f"{index_dir}/removed").select("part", "doc_id").distinct(),
+            ["part", "doc_id"],
+            "left_anti",
+        )
+    row = live.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+
+    manifest = Manifest(path=os.path.join(index_dir, "manifest.json"), data=mdata)
+    seg_counts = {
+        str(r["part"]): {"n_segments": r["n_segments"], "n_postings": r["n_postings"], "repair": True}
+        for r in spark.read.parquet(f"{index_dir}/segments/wave={wave_id}")
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_segments"), F.sum("df_part").alias("n_postings"))
+        .collect()
+    }
+    manifest.commit_wave(wave_id, sorted(int(p) for p in seg_counts), seg_counts)
+    info = mdata.get("stage_info", {}).get("ready", {})
+    manifest.commit_stage(
+        "ready",
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"]),
+        n_parts=int(info.get("n_parts", 0)) + n_rep_parts,
+    )
+    rep.unpersist()
+    return {
+        "repaired": len(old_inst),
+        "inserted": n_rep - len({r["doc_key"] for r in old_inst}),
+        "wave": wave_id,
+    }
 
 
 def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = None) -> B.IndexHandle:
@@ -280,11 +482,10 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         forward = spark.read.parquet(f"{index_dir}/forward/wave=*")
     removed = None
     if os.path.isdir(os.path.join(index_dir, "removed")):
-        rm_keys = spark.read.parquet(f"{index_dir}/removed")
         removed = (
-            lens.select("part", "doc_id", "doc_key")
-            .join(rm_keys, "doc_key", "left_semi")
+            spark.read.parquet(f"{index_dir}/removed")
             .select("part", "doc_id")
+            .distinct()
         )
     return B.IndexHandle(
         docs=docs,

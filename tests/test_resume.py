@@ -156,3 +156,76 @@ def test_loaded_tree_query_single_scan(spark, documents, doc_index, built_dirs):
     want = fulltext.top_k(doc_index, "spark AND (join OR merge) NOT window", k=20).toPandas()
     assert list(got["doc"]) == list(want["doc"])
     assert list(got["score"]) == list(want["score"])
+
+
+def test_upsert_repairs_doc_and_matches_fresh_build(spark, documents, tmp_path_factory):
+    """MiruIndexer.set version repair (MiruIndexer.java:128-162): after
+    upsert_docs, the doc's OLD content vanishes from every answer, the NEW
+    content ranks, and query results equal a FRESH build over the repaired
+    corpus (corrected stats). Resume stays a no-op afterwards."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index_store import upsert_docs
+
+    base = tmp_path_factory.mktemp("upsert")
+    idx_dir = str(base / "idx")
+    kw = dict(
+        text_col="text", dense_id_col="doc_id", capacity=128,
+        hot_df_threshold=64, salt_buckets=4, wave_size=4, merge_partitions=4,
+        aux_fields=["lang", "source"],
+    )
+    build_persistent(documents, idx_dir, **kw)
+    idx = load_index(spark, idx_dir)
+    before = fulltext.top_k(idx, "spark AND join", k=10).collect()
+    victim = int(before[0]["doc"])
+
+    repaired_text = "zzzrepair zzzrepair freshcontent spark"
+    new_row = (
+        documents.filter(F.col("doc_id") == victim)
+        .withColumn("text", F.lit(repaired_text))
+    )
+    rep = upsert_docs(spark, idx_dir, new_row)
+    assert rep["repaired"] == 1 and rep["inserted"] == 0
+
+    idx2 = load_index(spark, idx_dir)
+    # old content gone from the old query's answer set at the old rank
+    after = fulltext.top_k(idx2, "spark AND join", k=10).collect()
+    assert victim not in [int(r["doc"]) for r in after]
+    # new content ranks under its new terms, same doc_key identity
+    hit = fulltext.top_k(idx2, "zzzrepair", k=5).collect()
+    assert [int(r["doc"]) for r in hit] == [victim]
+    # live sha is the repaired content's
+    live_sha = (
+        idx2.lens.join(
+            spark.read.parquet(f"{idx_dir}/doclens/wave=*"),
+            ["part", "doc_id", "doc_key", "dl"],
+        )
+        .join(idx2.removed, ["part", "doc_id"], "left_anti")
+        .filter(F.col("doc_key") == victim)
+        .select("content_sha")
+        .collect()
+    )
+    assert len(live_sha) == 1
+
+    # rank/score parity with a fresh build over the repaired corpus
+    fresh_dir = str(base / "fresh")
+    repaired_src = documents.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.lit(repaired_text)).otherwise(F.col("text")),
+    )
+    build_persistent(repaired_src, fresh_dir, **kw)
+    fresh = load_index(spark, fresh_dir)
+    for q in ["spark AND join", "zzzrepair OR merge", "s*"]:
+        a = [(int(r["doc"]), r["score"]) for r in fulltext.top_k(idx2, q, k=20).collect()]
+        b = [(int(r["doc"]), r["score"]) for r in fulltext.top_k(fresh, q, k=20).collect()]
+        assert a == b, (q, a, b)
+    # aux field query finds the repaired instance
+    lang = new_row.collect()[0]["lang"]
+    docs_lang = fulltext.top_k(idx2, f"zzzrepair AND lang:{lang}", k=5).collect()
+    assert [int(r["doc"]) for r in docs_lang] == [victim]
+
+    # resume over the original source is still a no-op (repair wave survives)
+    rep2 = build_persistent(documents, idx_dir, **kw)
+    assert rep2.waves_run == 0
+    still = fulltext.top_k(load_index(spark, idx_dir), "zzzrepair", k=5).collect()
+    assert [int(r["doc"]) for r in still] == [victim]
