@@ -110,7 +110,9 @@ class QueryParseError(ValueError):
     pass
 
 
-def _atom(word: str, stopwords: frozenset | None = None) -> Leaf | None:
+def _atom(
+    word: str, stopwords: frozenset | None = None, stemmer: str | None = None
+) -> Leaf | None:
     fld = ""
     m = _FIELD.match(word)
     if m:
@@ -119,21 +121,30 @@ def _atom(word: str, stopwords: frozenset | None = None) -> Leaf | None:
     word = word.rstrip("*")
     if fld:
         return Leaf(word.lower(), fld, prefix)
-    # query and ingest share ONE analyzer, incl. the stopword dialect — a
-    # stopworded query term vanishes exactly like it did at ingest
+    # query and ingest share ONE analyzer, incl. the stopword + stemming
+    # dialects — a stopworded query term vanishes exactly like it did at
+    # ingest, and a stemmed index is queried with stemmed terms. Wildcard
+    # prefixes are NOT stemmed (they aren't a word; Lucene likewise skips
+    # analysis for wildcard terms).
     toks = tokenize_py(word, stopwords=stopwords)
     if not toks:
         return None
-    return Leaf(toks[0], "", prefix)
+    term = toks[0]
+    if stemmer and not prefix:
+        from miru_spark.stem import get_stemmer
+
+        term = get_stemmer(stemmer)(term)
+    return Leaf(term, "", prefix)
 
 
 def _parse_expr(
-    toks: list[str], pos: int, stopwords: frozenset | None = None
+    toks: list[str], pos: int, stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> tuple[Node | Leaf, int]:
-    left, pos = _parse_and(toks, pos, stopwords)
+    left, pos = _parse_and(toks, pos, stopwords, stemmer)
     groups = [left]
     while pos < len(toks) and toks[pos] == "OR":
-        nxt, pos = _parse_and(toks, pos + 1, stopwords)
+        nxt, pos = _parse_and(toks, pos + 1, stopwords, stemmer)
         groups.append(nxt)
     if len(groups) == 1:
         return groups[0], pos
@@ -141,7 +152,8 @@ def _parse_expr(
 
 
 def _parse_and(
-    toks: list[str], pos: int, stopwords: frozenset | None = None
+    toks: list[str], pos: int, stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> tuple[Node | Leaf, int]:
     positives: list[Node | Leaf] = []
     negatives: list[Node | Leaf] = []
@@ -172,12 +184,12 @@ def _parse_and(
             )
             pos += 3
         elif t == "(":
-            child, pos = _parse_expr(toks, pos + 1, stopwords)
+            child, pos = _parse_expr(toks, pos + 1, stopwords, stemmer)
             if pos >= len(toks) or toks[pos] != ")":
                 raise QueryParseError("unbalanced parentheses")
             pos += 1
         else:
-            child = _atom(t, stopwords)
+            child = _atom(t, stopwords, stemmer)
             pos += 1
             if child is None:
                 continue  # word tokenized to nothing (punctuation-only)
@@ -197,11 +209,13 @@ def _parse_and(
     return p, pos
 
 
-def parse_tree(query: str, stopwords: frozenset | None = None) -> Node | Leaf:
+def parse_tree(
+    query: str, stopwords: frozenset | None = None, stemmer: str | None = None
+) -> Node | Leaf:
     toks = _LEX.findall(query)
     if not toks:
         raise QueryParseError("empty query")
-    tree, pos = _parse_expr(toks, 0, stopwords)
+    tree, pos = _parse_expr(toks, 0, stopwords, stemmer)
     if pos != len(toks):
         raise QueryParseError(f"unexpected token at {pos}: {toks[pos]!r}")
     return tree
@@ -284,8 +298,9 @@ def parse_query(
     time_range: tuple[int, int] | None = None,
     constraints: list[Leaf] | None = None,
     stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> QuerySpec:
-    tree = parse_tree(query, stopwords)
+    tree = parse_tree(query, stopwords, stemmer)
     flat = _flatten(tree)
     spec = QuerySpec(
         k=k,

@@ -71,6 +71,7 @@ def build_persistent(
     forward_index: bool = True,
     schema=None,
     stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> BuildReport:
     """Resumable build of the persistent index. ``fail_after_wave`` injects a
     crash after that wave's commit (kill-resume tests only). ``spread`` as in
@@ -118,6 +119,7 @@ def build_persistent(
         "aux": ",".join(aux_fields or []),
         "num_aux": ",".join(numeric_aux_fields or []),
         "stopwords": ",".join(sorted(stopwords or [])),
+        "stemmer": stemmer or "",
         # forward-index on/off is part of the identity: resuming a
         # forward=True build with forward=False (or vice versa) must restart,
         # or forward/wave=* would be a PARTIAL glob that gather silently
@@ -149,7 +151,7 @@ def build_persistent(
         # spread the tokenize stage (see build_index) — numbered repartition
         # keeps the Arrow pass at full width regardless of wave part count
         tokenize_src = wave_docs.repartition(spread) if spread else wave_docs
-        flat = B.flat_postings(tokenize_src, text_col, stopwords)
+        flat = B.flat_postings(tokenize_src, text_col, stopwords, stemmer)
         packed = B.packed_from_flat(flat)
         (
             packed.repartition("part")
@@ -304,6 +306,7 @@ def upsert_docs(
     text_col = fp["text_col"]
     capacity = int(fp["capacity"])
     stopwords = frozenset(fp["stopwords"].split(",")) if fp.get("stopwords") else None
+    stemmer = fp.get("stemmer") or None
     aux_fields = [c for c in fp.get("aux", "").split(",") if c]
     num_aux = [c for c in fp.get("num_aux", "").split(",") if c]
     key_col = doc_key_col or fp["id"]
@@ -347,7 +350,7 @@ def upsert_docs(
     w = Window.partitionBy("part").orderBy("doc_key")
     rep = rep.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")).cache()
 
-    flat = B.flat_postings(rep, text_col, stopwords)
+    flat = B.flat_postings(rep, text_col, stopwords, stemmer)
     packed = B.packed_from_flat(flat)
     (
         packed.repartition("part")
@@ -503,4 +506,5 @@ def load_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = Non
         stopwords=(
             frozenset(fp["stopwords"].split(",")) if fp.get("stopwords") else None
         ),
+        stemmer=fp.get("stemmer") or None,
     )

@@ -180,7 +180,8 @@ def prepare_docs(
 
 
 def flat_postings(
-    docs: DataFrame, text_col: str = "content", stopwords: frozenset | None = None
+    docs: DataFrame, text_col: str = "content", stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """(part, term, doc_id, tf) — the uncompressed logical posting relation.
 
@@ -198,8 +199,11 @@ def flat_postings(
 
     from miru_spark.tokenize import TOKEN_SPLIT_RE
 
+    from miru_spark.stem import get_stemmer
+
     find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
     stop = stopwords or None
+    st = get_stemmer(stemmer)
 
     def _tok(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from collections import Counter
@@ -215,6 +219,8 @@ def flat_postings(
                 toks = find_re.findall(txt.lower())
                 if stop:
                     toks = [t for t in toks if t not in stop]
+                if st:
+                    toks = list(map(st, toks))
                 counts = Counter(toks)
                 if not counts:
                     continue
@@ -485,6 +491,7 @@ def packed_fused(
     text_col: str = "content",
     num_tasks: int | None = None,
     stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """Tokenize AND pack in ONE task per doc-partition group — no flat
     shuffle at all.
@@ -508,8 +515,11 @@ def packed_fused(
 
     from miru_spark.tokenize import TOKEN_SPLIT_RE
 
+    from miru_spark.stem import get_stemmer
+
     find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
     stop = stopwords or None
+    st = get_stemmer(stemmer)
     spark = docs.sparkSession
     n = num_tasks or spark.sparkContext.defaultParallelism * 2
     src = docs.select("part", "doc_id", F.col(text_col)).repartition(n, "part")
@@ -531,6 +541,8 @@ def packed_fused(
                 toks = find_re.findall(txt.lower())
                 if stop:
                     toks = [t for t in toks if t not in stop]
+                if st:
+                    toks = list(map(st, toks))
                 counts = Counter(toks)
                 if not counts:
                     continue
@@ -751,6 +763,10 @@ class IndexHandle:
     # analog) — query parsing MUST apply the same set (top_k/wand_topk pass
     # it to parse_query automatically for string queries)
     stopwords: frozenset | None = None
+    # stemming dialect ('porter' or None) — the TermAnalyzers per-locale
+    # stemming analyzer analog (miru_spark.stem); applied identically at
+    # ingest and query parse
+    stemmer: str | None = None
     # every relation this build cached/persisted — freed by unpersist() so
     # repeated builds in one session don't accumulate BlockManager entries
     cached: list = dataclass_field(default_factory=list)
@@ -832,6 +848,7 @@ def build_index(
     pack_partitions: int | None = None,
     schema=None,
     stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> IndexHandle:
     """``strategy``: 'sort' (default — shuffle-sort streaming pack) or
     'hash_agg' (collect_list + explicit hot-term salting; byte-identical
@@ -902,7 +919,7 @@ def build_index(
         # decode view over cached packed, and queries term-prune the packed
         # relation first (lazy=True).
         hot, segments = [], None
-        packed_all = packed_fused(docs, text_col, pack_partitions, stopwords)
+        packed_all = packed_fused(docs, text_col, pack_partitions, stopwords, stemmer)
         # packed_all feeds ≥3 consumers (postings filter → stats/queries,
         # the DL sentinel → doc lengths, corpus-stats action) — persist it
         # REGARDLESS of the cache flag or the whole tokenize+pack kernel
@@ -934,7 +951,7 @@ def build_index(
         # tasks as the source has files. A numbered repartition is
         # AQE-coalesce-exempt. Measured 3.5× at local[32].
         tok_src = docs.repartition(spread) if spread else docs
-        flat = flat_postings(tok_src, text_col, stopwords)
+        flat = flat_postings(tok_src, text_col, stopwords, stemmer)
         if cache:
             slim = slim.cache()
             flat = flat.cache()
@@ -983,5 +1000,6 @@ def build_index(
         ),
         lazy=lazy,
         stopwords=stopwords,
+        stemmer=stemmer,
         cached=cached,
     )

@@ -550,7 +550,10 @@ def top_k(index: IndexHandle, query: str | QuerySpec, k: int = 100, scorer: str 
     spec = (
         query
         if isinstance(query, QuerySpec)
-        else parse_query(query, k=k, scorer=scorer, stopwords=index.stopwords)
+        else parse_query(
+            query, k=k, scorer=scorer, stopwords=index.stopwords,
+            stemmer=index.stemmer,
+        )
     )
     if spec.scorer == "time":
         # TIME strategy: descending insertion order over the ANSWER set

@@ -266,7 +266,10 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     spec = (
         query
         if isinstance(query, QuerySpec)
-        else parse_query(query, k=k, scorer=scorer, stopwords=index.stopwords)
+        else parse_query(
+            query, k=k, scorer=scorer, stopwords=index.stopwords,
+            stemmer=index.stemmer,
+        )
     )
     if (
         spec.scorer == "time"
