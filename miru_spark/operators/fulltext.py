@@ -100,6 +100,33 @@ def expand_negatives(index: IndexHandle, spec: QuerySpec) -> list[str]:
     return terms
 
 
+def _query_relation(index: IndexHandle, expanded: list[tuple[str, int, int]]):
+    """ONE broadcast relation (term, qtf, clause, df, cum_tf) for the scoring
+    join: the ≤max_expansion per-term stats rows are collected driver-side
+    (the stats scan is term-pruned either way) and folded into the query-term
+    table, so the hot path pays a single broadcast join instead of two.
+    Unknown terms drop out here — they have no postings, so the result is
+    identical (an unknown AND-clause still yields the empty set because its
+    clause id can never reach the matched count).
+
+    Returns (q_relation, known_terms)."""
+    spark = index.stats.sparkSession
+    terms = sorted({t for t, _, _ in expanded})
+    srows = {
+        r["term"]: (r["df"], r["cum_tf"])
+        for r in index.stats.filter(F.col("term").isin(terms)).collect()
+    }
+    rows = [
+        (t, qtf, cid, srows[t][0], srows[t][1])
+        for t, qtf, cid in expanded
+        if t in srows
+    ]
+    q = spark.createDataFrame(
+        rows, "term string, qtf int, clause int, df long, cum_tf long"
+    )
+    return q, sorted({t for t, _, _, _, _ in rows})
+
+
 def _contrib_col(scorer: str, n_docs: int, avgdl: float) -> F.Column:
     tf = F.col("tf").cast("double")
     qtf = F.col("qtf").cast("double")
@@ -127,13 +154,15 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         return spark.createDataFrame(
             [], "part int, doc_id int, doc_key long, score double, matched long"
         )
-    q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
-    terms = sorted({t for t, _, _ in expanded})
+    q, terms = _query_relation(index, expanded)
+    if not terms:
+        return spark.createDataFrame(
+            [], "part int, doc_id int, doc_key long, score double, matched long"
+        )
 
     cand = (
         postings_for_terms(index, terms)  # term predicate reaches the scan
         .join(F.broadcast(q), "term")
-        .join(F.broadcast(index.stats.filter(F.col("term").isin(terms))), "term")
         .join(index.lens, ["part", "doc_id"])
     )
     contrib = cand.withColumn(
@@ -370,13 +399,11 @@ def top_k_tree(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     cand = _apply_masks(index, cand, spec)
     expanded = _expanded_scoring_terms(index, spec)
     if expanded:
-        spark = index.stats.sparkSession
-        q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
-        terms = sorted({t for t, _, _ in expanded})
+        q, terms = _query_relation(index, expanded)
+    if expanded and terms:
         contrib = (
             postings_for_terms(index, terms)
             .join(F.broadcast(q), "term")
-            .join(F.broadcast(index.stats.filter(F.col("term").isin(terms))), "term")
             .join(index.lens.select("part", "doc_id", "dl"), ["part", "doc_id"])
             .withColumn(
                 "contrib",
@@ -492,15 +519,10 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     # flat path's ascending-term ordered sum
     expanded = _expanded_scoring_terms(index, spec)
     if expanded:
-        q = spark.createDataFrame(expanded, "term string, qtf int, clause int")
-        terms_scoring = sorted({t for t, _, _ in expanded})
+        q, terms_scoring = _query_relation(index, expanded)
+    if expanded and terms_scoring:
         cand = (
             cand.join(F.broadcast(q), "term", "left")
-            .join(
-                F.broadcast(index.stats.filter(F.col("term").isin(terms_scoring))),
-                "term",
-                "left",
-            )
             .withColumn(
                 "contrib",
                 _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl),
