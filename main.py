@@ -63,6 +63,18 @@ def cmd_remove(args) -> None:
     print(json.dumps({"removed": n}))
 
 
+def cmd_upsert(args) -> None:
+    """Version repair (MiruIndexer.set): docs in --input replace the index's
+    content for their doc_keys; unknown keys are pure inserts."""
+    from miru_spark.index_store import upsert_docs
+    from miru_spark.sources import read_source
+
+    spark = _spark("miru_upsert")
+    src = read_source(spark, args.input, args.format)
+    rep = upsert_docs(spark, args.index, src, doc_key_col=args.doc_key_col)
+    print(json.dumps(rep))
+
+
 def cmd_query(args) -> None:
     from miru_spark.filters import Leaf, parse_query
     from miru_spark.index_store import load_index
@@ -158,6 +170,16 @@ def main() -> None:
         help="analyzer stop set applied at ingest AND query (TermAnalyzers.useStopWords)",
     )
     b.set_defaults(fn=cmd_build)
+
+    up = sub.add_parser("upsert")
+    up.add_argument("--input", required=True, help="repair docs (same shape as build input)")
+    up.add_argument("--index", required=True)
+    up.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    up.add_argument(
+        "--doc-key-col", default=None,
+        help="column holding the doc_keys to repair (defaults to the build's dense id col)",
+    )
+    up.set_defaults(fn=cmd_upsert)
 
     rm = sub.add_parser("remove")
     rm.add_argument("--index", required=True)
