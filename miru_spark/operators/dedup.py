@@ -241,20 +241,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """(doc, simhash: long) — 64-bit SimHash over tf-weighted token hashes.
 
     Expressed as explode → per-bit weighted vote → reassemble, all JVM-side:
-    bit_i(term) comes from xxhash64(term) shifted; the vote is one groupBy
-    with 64 sum expressions (map-side combinable).
+    the vote is one groupBy with 64 sum expressions (map-side combinable).
+
+    Bit source: bit ``i`` of the signature is bit ``i % 16`` of the 16-bit
+    integer parsed from hex digits ``[4·(i//16), 4·(i//16)+4)`` of
+    ``md5(term)``. md5 (unlike xxhash64) produces identical bytes in every
+    engine, which makes the whole operator integer-exact replayable in the
+    DuckDB oracle (`oracles.simhash_pairs_sql`) — no float, no
+    engine-specific hash.
     """
     tf = (
         df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h_hex", F.md5("term"))
     )
+    for c in range(4):
+        tf = tf.withColumn(
+            f"h{c}", F.conv(F.substring("h_hex", c * 4 + 1, 4), 16, 10).cast("int")
+        )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(
+                F.shiftright(F.col(f"h{i // 16}"), i % 16).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
         ).alias(f"v{i}")
         for i in range(bits)
     ]

@@ -422,8 +422,10 @@ def lsh_cosine_pairs(
     matmul for bucketing, one row-wise dot for the verify) — the
     per-element Catalyst lambda folds cost ~20M interpreter calls at 5k
     vectors (18 s at sf0.1); the matmul form is the shape that survives
-    10^9 vectors. The exact brute operator above keeps the ordered-fold
-    floats (it is the SQL-oracle path); this candidate path is rows-gated.
+    10^9 vectors. The verify stage replays the exact operator's ordered
+    fold, so at recall 1 the output is hash-identical to ``cosine_pairs``
+    — which is how the gate oracles it (any residual miss probability is
+    (1 - (1 - (θ/π))^n_planes)^n_tables per pair, deterministic per seed).
     """
     from typing import Iterator
 
@@ -490,11 +492,9 @@ def lsh_cosine_pairs(
             vb = batch.column("vec_b").to_numpy(zero_copy_only=False)
             ea = _vectors(batch.column("ea"), n)
             eb = _vectors(batch.column("eb"), n)
-            cos = np.round(
-                (ea * eb).sum(axis=1)
-                / (np.sqrt((ea * ea).sum(axis=1)) * np.sqrt((eb * eb).sum(axis=1))),
-                6,
-            )
+            # ordered fold, not np.sum: bit-parity with cosine_pairs and the
+            # SQL oracle, so a recall-1 run is hash-identical to the exact op
+            cos = np.round(_ordered_fold_cosine(ea, eb), 6)
             keep = cos >= threshold
             yield pa.RecordBatch.from_arrays(
                 [pa.array(va[keep]), pa.array(vb[keep]), pa.array(cos[keep])],

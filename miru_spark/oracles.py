@@ -598,6 +598,57 @@ WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
 """
 
 
+def simhash_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """Integer-exact replay of ``dedup.simhash_pairs``: 64-bit SimHash over
+    tf-weighted md5 token hashes, 4×16-bit-chunk pigeonhole blocking, Hamming
+    ≤ max_hamming. md5 is byte-identical across engines and every other step
+    is integer arithmetic, so this is a full-strength hash oracle (not an
+    approximation bound): chunk c = hex digits [4c, 4c+4) of md5(term), bit
+    i of the signature = bit i%16 of chunk i//16, vote > 0 → 1."""
+    tok = duckdb_tokens_sql(text_col)
+    hchunks = ",\n        ".join(
+        f"('0x' || substr(h_hex, {c * 4 + 1}, 4))::INT AS h{c}" for c in range(4)
+    )
+    votes = ",\n        ".join(
+        f"CAST(sum(CASE WHEN (h{i // 16} >> {i % 16}) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS v{i}"
+        for i in range(64)
+    )
+    sigs = ",\n        ".join(
+        "("
+        + " + ".join(f"CASE WHEN v{c * 16 + b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+        + f")::BIGINT AS s{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(sa.s{c}, sb.s{c}))" for c in range(4))
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc, unnest({tok}) AS term FROM {table}),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+hx AS (SELECT doc, tf, md5(term) AS h_hex FROM tf),
+h AS (SELECT doc, tf,
+        {hchunks}
+      FROM hx),
+v AS (SELECT doc,
+        {votes}
+      FROM h GROUP BY doc),
+sig AS (SELECT doc,
+        {sigs}
+      FROM v),
+ck AS (SELECT doc, c,
+              CASE c WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS ckey
+       FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) cs(c)),
+cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey AND a.doc < b.doc)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc = doc_a
+JOIN sig sb ON sb.doc = doc_b
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def quality_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     tok = duckdb_tokens_sql(text_col)
     stop = ", ".join(f"'{s}'" for s in ["the", "a", "of", "to", "in", "and", "is", "for"])
