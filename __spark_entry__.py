@@ -398,12 +398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), "vec_id", "embedding", _query_vec(s, d), k=50
     )
+    # retired r5: embedding_neardup_pairs (exact all-pairs cosine) — the lsh
+    # row below now carries the SAME cosine_pairs_sql oracle and its verify
+    # replays the same ordered fold, so the output check is identical; the
+    # cosine_pairs code path (crossJoin guard + kernel) stays pytest-covered
+    # in tests/test_similarity_dedup.py. Slot reused for dedup_cluster_canonical.
     # threshold 0.45 is set from the fixture's actual cosine distribution
     # (max pairwise 0.51; 14 pairs ≥0.45 at sf0.01) so the gate checks a
     # NON-EMPTY truth set — 0.95 matched nothing and proved nothing.
-    q["embedding_neardup_pairs"] = lambda s, d: similarity.cosine_pairs(
-        _emb(s, d), "vec_id", "embedding", threshold=0.45
-    )
     # 4 planes × 48 tables: recall measured 1.0 on every fixture SF up to
     # sf1.0 (probe in round 5) — with the ordered-fold verify the output is
     # hash-identical to exact cosine_pairs, so the row is oracle-gated.
@@ -520,6 +522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         _docs(s, d), "doc_id", "text", max_hamming=3
+    )
+    # near-dup CLUSTERS (the operator a dedup pipeline actually consumes):
+    # minhash-verified pairs → iterative connected components (pointer-
+    # jumping label propagation); canonical = min doc of the component
+    q["dedup_cluster_canonical"] = lambda s, d: dedup.dup_clusters(
+        _docs(s, d), "doc_id", "text", n=3, threshold=0.85
     )
     q["text_quality"] = lambda s, d: textstats.quality(_docs(s, d), "doc_id", "text")
     q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text")
@@ -679,10 +687,12 @@ FROM (SELECT DISTINCT event_type, user_id FROM events)
     # on the fixtures (deterministic seed) + ordered-fold float parity →
     # output equals the exact cosine-pairs oracle.
     o["embedding_lsh_pairs"] = oracles.cosine_pairs_sql(threshold=0.45)
+    # dedup_cluster_canonical: recursive-CTE transitive closure over the
+    # exact jaccard pair graph (minhash pairs == exact pairs, already gated)
+    o["dedup_cluster_canonical"] = oracles.dup_clusters_sql(n=3, threshold=0.85)
     o["text_quality"] = oracles.quality_sql()
     o["text_token_counts"] = oracles.token_counts_sql()
     o["doc_fingerprint"] = oracles.fingerprint_sql()
     o["text_langid"] = oracles.langid_lite_sql()
     o["embedding_cosine_topk"] = oracles.cosine_topk_sql(query_vec_id=0, k=50)
-    o["embedding_neardup_pairs"] = oracles.cosine_pairs_sql(threshold=0.45)
     return o

@@ -325,3 +325,82 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """(doc, canonical) — connected components over an undirected pair list;
+    canonical = min node id of the component.
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min label over itself and its neighbors, then compresses
+    label → label(label). Plain propagation needs O(diameter) rounds; the
+    jump step doubles the reach per round, so convergence is O(log diameter)
+    — near-dup graphs (small, shallow clusters) converge in 2-3 rounds. Per
+    round: two shuffles (neighbor groupBy + jump join) over the LABEL
+    relation only (2 longs/node), never the text; localCheckpoint truncates
+    the lineage so the plan stays O(1) per round. The per-round driver
+    scalar is the convergence count — the orchestrator pattern for iterative
+    algorithms (the data never visits the driver).
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        # pointer jump: label <- label(label)
+        lab2 = stepped.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        jumped = (
+            stepped.join(lab2, stepped["label"] == lab2["n2"], "left")
+            .select("node", F.least("label", F.coalesce("l2", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("canonical"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.85,
+    **minhash_kwargs,
+) -> DataFrame:
+    """(doc, canonical) near-dup clusters: MinHash+LSH verified pairs →
+    connected components. The canonical-per-cluster assignment is the dedup
+    primitive a training pipeline actually consumes (keep one doc per
+    component, drop the rest); pair emission alone under-deletes chains
+    (A~B, B~C but A≁C must still collapse to one survivor).
+
+    Scale shape: the pair list is the banded-LSH verified output (never
+    all-pairs), and the component loop touches only (node, label) longs.
+    """
+    pairs = minhash_dedup_pairs(df, id_col, text_col, n=n, threshold=threshold, **minhash_kwargs)
+    return connected_components(pairs, "doc_a", "doc_b")

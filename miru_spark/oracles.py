@@ -598,6 +598,39 @@ WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
 """
 
 
+def dup_clusters_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.85,
+) -> str:
+    """Transitive closure of the exact n-gram-Jaccard pair graph as a
+    recursive CTE; canonical = min doc of each component. Oracles
+    ``dedup.dup_clusters`` through the already-gated equivalence
+    minhash-verified pairs == exact jaccard pairs."""
+    return f"""
+WITH RECURSIVE {_shingle_cte(table, id_col, text_col, n)},
+sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc = doc_a
+  JOIN sz sb ON sb.doc = doc_b
+  WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc, min(v) AS canonical FROM reach GROUP BY u
+"""
+
+
 def simhash_pairs_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,

@@ -140,3 +140,47 @@ def test_ivf_persisted_index_partition_pruned_search(spark, emb, tmp_path):
     # wrong-dim query fails loudly
     with pytest.raises(ValueError, match="dim"):
         similarity.ivf_search(spark, idx_dir, [1.0, 2.0], k=5)
+
+
+def test_connected_components_chain_and_jump(spark):
+    # chain 1-2-3-7 must collapse to canonical 1 (pair emission alone
+    # under-deletes chains); disjoint 10-11 keeps its own canonical
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 3)], "doc_a long, doc_b long"
+    )
+    got = sorted(tuple(r) for r in dedup.connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)]
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 64-node path graph: plain propagation would need 63 rounds;
+    # pointer jumping must converge well inside max_iter=25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(pairs, max_iter=25).collect()
+    assert {r.canonical for r in got} == {0}
+    assert len(got) == 64
+
+
+def test_dup_clusters_match_transitive_closure_of_pairs(spark, documents):
+    docs = documents
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.85).collect()
+    # union-find closure of the verified pairs = expected clusters
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = sorted((d, find(d)) for d in parent)
+    got = sorted(
+        tuple(r) for r in dedup.dup_clusters(docs, "doc_id", "text", n=3, threshold=0.85).collect()
+    )
+    assert got == expected
