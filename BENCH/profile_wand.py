@@ -26,16 +26,19 @@ from miru_spark import codec
 from miru_spark.operators import wand as W
 
 
-def make_term(rng, n_docs, df, qtf, clause):
+def make_term(rng, n_docs, df, qtf, clause, dl_arr):
     ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 20, size=df).astype(np.int64)
+    # postings are self-contained: each carries its doc's dl + doc_key
+    dls = dl_arr[ids].astype(np.int64)
+    keys = ids.copy()
     bs = codec.BLOCK_SIZE
     n_blocks = (df + bs - 1) // bs
     ends = np.minimum(np.arange(1, n_blocks + 1) * bs, df) - 1
     block_last = ids[ends]
     block_max = np.maximum.reduceat(tfs, np.arange(0, df, bs))
     t = W._TermCtx(f"t{clause}", qtf, clause, float(df), float(tfs.sum()),
-                   ids, tfs, block_last, block_max)
+                   ids, tfs, dls, keys, block_last, block_max)
     return t
 
 
@@ -45,17 +48,17 @@ def main(n_docs: int = 1_000_000, k: int = 100) -> dict:
     avgdl = float(dl_arr.mean())
     # 3-term low-selectivity OR: 20% / 15% / 10% of the partition
     dfs = [n_docs // 5, int(n_docs * 0.15), n_docs // 10]
-    terms = [make_term(rng, n_docs, df, 1.0, i) for i, df in enumerate(dfs)]
+    terms = [make_term(rng, n_docs, df, 1.0, i, dl_arr) for i, df in enumerate(dfs)]
     terms.sort(key=lambda t: t.term)
 
     out = {"n_docs": n_docs, "k": k, "dfs": dfs, "total_postings": int(sum(dfs))}
 
     t0 = time.perf_counter()
-    docs_w, scores_w = W._kernel_wand(terms, dl_arr, "bm25", n_docs, avgdl, k)
+    docs_w, scores_w = W._kernel_wand(terms, "bm25", n_docs, avgdl, k)
     out["wand_sec"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    docs_t, scores_t = W._kernel_taat(terms, dl_arr, "bm25", n_docs, avgdl)
+    docs_t, scores_t = W._kernel_taat(terms, "bm25", n_docs, avgdl)
     out["taat_sec"] = round(time.perf_counter() - t0, 3)
 
     # agreement on the top-k set
@@ -69,7 +72,7 @@ def main(n_docs: int = 1_000_000, k: int = 100) -> dict:
     # where does WAND's time go? (pivot loop vs numpy)
     pr = cProfile.Profile()
     pr.enable()
-    W._kernel_wand(terms, dl_arr, "bm25", n_docs, avgdl, k)
+    W._kernel_wand(terms, "bm25", n_docs, avgdl, k)
     pr.disable()
     s = io.StringIO()
     st = pstats.Stats(pr, stream=s).sort_stats("cumulative")

@@ -183,6 +183,11 @@ def run_suite() -> dict:
 
     _t("q_minhash_dedup", lambda: dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, threshold=0.85).collect())
+    # end-to-end cluster canonicalization: minhash pairs → iterative
+    # connected components (pointer jumping); the extra cost over
+    # q_minhash_dedup is the component loop itself
+    _t("q_dedup_clusters", lambda: dedup.dup_clusters(
+        docs, "doc_id", "text", n=3, threshold=0.85).collect())
 
     _t("q_langid", lambda: textstats.langid_lite(docs, "doc_id", "text").collect())
 

@@ -38,10 +38,12 @@ from miru_spark.operators import build as B
 # Bumped whenever the on-disk layout changes (e.g. the first_id packed column,
 # per-wave forward flags; v3: removed/ stores (part, doc_id, doc_key) instances
 # so version repair can tombstone the OLD instance of a doc_key without
-# masking its replacement). Part of the fingerprint, so an index written by
-# older code forces a clean rebuild instead of mixing schemas across waves;
-# load_index refuses older dirs outright.
-FORMAT_VERSION = 3
+# masking its replacement; v4: per-posting dls/keys packed columns make the
+# postings self-contained for scoring — queries stop joining the O(corpus)
+# doclens relation, and aux/ carries doc_key). Part of the fingerprint, so an
+# index written by older code forces a clean rebuild instead of mixing
+# schemas across waves; load_index refuses older dirs outright.
+FORMAT_VERSION = 4
 
 
 @dataclass
@@ -167,9 +169,11 @@ def build_persistent(
         if forward_index:
             # decode the JUST-WRITTEN segments back into the forward layout
             # (a varint decode pass — much cheaper than a third tokenize of
-            # the content); doc-sorted so gather's semi-join prunes files
+            # the content); doc-sorted so gather's semi-join prunes files.
+            # Only the 4 forward columns — dl/doc_key stay in the postings.
             (
                 B.unpack_postings(spark.read.parquet(f"{index_dir}/segments/wave={wave_id}"))
+                .select("part", "doc_id", "term", "tf")
                 .repartition("part")
                 .sortWithinPartitions("part", "doc_id", "term")
                 .write.mode("overwrite")
@@ -364,6 +368,7 @@ def upsert_docs(
     if fp.get("forward"):
         (
             B.unpack_postings(spark.read.parquet(f"{index_dir}/segments/wave={wave_id}"))
+            .select("part", "doc_id", "term", "tf")
             .repartition("part")
             .sortWithinPartitions("part", "doc_id", "term")
             .write.mode("overwrite")

@@ -183,7 +183,10 @@ def flat_postings(
     docs: DataFrame, text_col: str = "content", stopwords: frozenset | None = None,
     stemmer: str | None = None,
 ) -> DataFrame:
-    """(part, term, doc_id, tf) — the uncompressed logical posting relation.
+    """(part, term, doc_id, tf, dl, doc_key) — the uncompressed logical
+    posting relation. dl (the doc's token count after the analyzer dialects)
+    and doc_key are denormalized onto every posting row so the query path
+    never joins the corpus-sized doclens relation (see PACKED_SCHEMA note).
 
     One Arrow-batched pass: tokenize + per-doc tf count happen map-side in
     the same task (the reference's per-batch HashMultiset compose,
@@ -211,9 +214,10 @@ def flat_postings(
         for batch in batches:
             parts = batch.column("part").to_numpy(zero_copy_only=False)
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keys = batch.column("doc_key").to_numpy(zero_copy_only=False)
             texts = batch.column(text_col).to_pylist()
-            o_part, o_doc, o_term, o_tf = [], [], [], []
-            for p, d, txt in zip(parts, doc_ids, texts):
+            o_part, o_doc, o_term, o_tf, o_dl, o_key = [], [], [], [], [], []
+            for p, d, ky, txt in zip(parts, doc_ids, keys, texts):
                 if not txt:
                     continue
                 toks = find_re.findall(txt.lower())
@@ -228,6 +232,8 @@ def flat_postings(
                 o_doc.append(np.full(len(counts), d, dtype=np.int32))
                 o_term.extend(counts.keys())
                 o_tf.append(np.fromiter(counts.values(), dtype=np.int32, count=len(counts)))
+                o_dl.append(np.full(len(counts), len(toks), dtype=np.int32))
+                o_key.append(np.full(len(counts), ky, dtype=np.int64))
             if o_term:
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -235,12 +241,14 @@ def flat_postings(
                         pa.array(o_term, pa.string()),
                         pa.array(np.concatenate(o_doc)),
                         pa.array(np.concatenate(o_tf)),
+                        pa.array(np.concatenate(o_dl)),
+                        pa.array(np.concatenate(o_key)),
                     ],
-                    names=["part", "term", "doc_id", "tf"],
+                    names=["part", "term", "doc_id", "tf", "dl", "doc_key"],
                 )
 
-    return docs.select("part", "doc_id", F.col(text_col)).mapInArrow(
-        _tok, "part int, term string, doc_id int, tf int"
+    return docs.select("part", "doc_id", "doc_key", F.col(text_col)).mapInArrow(
+        _tok, "part int, term string, doc_id int, tf int, dl int, doc_key long"
     )
 
 
@@ -274,7 +282,7 @@ def build_segments(
     stage 2 merges the S sub-lists. Output is byte-identical either way
     (asserted in tests) — the salt only reshapes the shuffle.
     """
-    plist = F.struct(F.col("doc_id"), F.col("tf"))
+    plist = F.struct(F.col("doc_id"), F.col("tf"), F.col("dl"), F.col("doc_key"))
     if not hot_terms:
         return flat.groupBy("part", "term").agg(
             F.sort_array(F.collect_list(plist)).alias("plist"),
@@ -299,14 +307,23 @@ def build_segments(
 
 PACKED_SCHEMA = (
     "part int, term string, df_part long, cum_tf_part long, "
-    "ids binary, tfs binary, block_last array<long>, block_max_tf array<long>, "
-    "first_id int"
+    "ids binary, tfs binary, dls binary, keys binary, "
+    "block_last array<long>, block_max_tf array<long>, first_id int"
 )
 # first_id = first doc id of the posting list (the last one is
 # element_at(block_last, -1)) — lets first/latest-occurrence queries
 # (MiruIndexLatest / setIfEmpty) run off packed METADATA with zero posting
 # decode, exactly like the reference's incrementally-maintained latest/first
 # bitmaps (miru-service/.../stream/MiruIndexLatest.java).
+#
+# dls / keys = per-posting doc length (plain varint) and doc_key (delta
+# varint — keys ascend with doc_id under every id scheme, including repair
+# waves whose doc_id is a row_number ordered by doc_key). Denormalizing the
+# two per-doc attributes into the posting rows makes the postings relation
+# SELF-CONTAINED for scoring: the query path never joins the O(corpus)
+# doclens relation (Lucene's norms-in-segment layout; the reference reads
+# norms from partition-local arrays, never a cross-partition join). Storage
+# cost ≈ the tfs column again; the per-query saving is an O(corpus) shuffle.
 
 # sentinel term whose posting row carries the partition's forward dl array
 # (ids = doc ids, tfs = doc lengths) — the reference's special-cell trick
@@ -327,22 +344,35 @@ def _binary_from_parts(byte_buf: np.ndarray, row_nbytes: np.ndarray) -> pa.Array
     )
 
 
-def _pack_arrays(offsets: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
+def _pack_arrays(
+    offsets: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    keys: np.ndarray,
+):
     """Vectorized pack of n posting lists given list offsets into flattened
-    (doc_ids, tfs). Returns Arrow arrays (ids, tfs, block_last, block_max_tf).
-    No per-row Python — the loops live inside numpy/varint byte positions.
-    """
+    (doc_ids, tfs, dls, keys). Returns Arrow arrays (ids, tfs, dls, keys,
+    block_last, block_max_tf). No per-row Python — the loops live inside
+    numpy/varint byte positions. ids and keys are delta-encoded (both ascend
+    within a run); tfs and dls are plain varint."""
     n = len(offsets) - 1
     total = int(offsets[-1])
     lens = np.diff(offsets)
+
     # delta encoding with per-row reset at list starts
-    deltas = np.empty(total, dtype=np.uint64)
-    if total:
-        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
-        starts = offsets[:-1][lens > 0]
-        deltas[starts] = doc_ids[starts].astype(np.uint64)
-    id_bytes, id_nb = codec.varint_encode(deltas)
+    def _delta(vals: np.ndarray) -> np.ndarray:
+        deltas = np.empty(total, dtype=np.uint64)
+        if total:
+            deltas[1:] = np.diff(vals).astype(np.uint64)
+            starts = offsets[:-1][lens > 0]
+            deltas[starts] = vals[starts].astype(np.uint64)
+        return deltas
+
+    id_bytes, id_nb = codec.varint_encode(_delta(doc_ids))
+    key_bytes, key_nb = codec.varint_encode(_delta(keys))
     tf_bytes, tf_nb = codec.varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    dl_bytes, dl_nb = codec.varint_encode(np.ascontiguousarray(dls, dtype=np.uint64))
     # per-row byte counts = sum of per-value byte counts within the row
     def _row_bytes(nb: np.ndarray) -> np.ndarray:
         if total == 0:
@@ -353,6 +383,8 @@ def _pack_arrays(offsets: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
 
     ids_col = _binary_from_parts(id_bytes, _row_bytes(id_nb))
     tfs_col = _binary_from_parts(tf_bytes, _row_bytes(tf_nb))
+    dls_col = _binary_from_parts(dl_bytes, _row_bytes(dl_nb))
+    keys_col = _binary_from_parts(key_bytes, _row_bytes(key_nb))
 
     # block-max metadata, vectorized across all rows
     bs = codec.BLOCK_SIZE
@@ -375,7 +407,7 @@ def _pack_arrays(offsets: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
         block_max_vals = np.empty(0, dtype=np.int64)
     bl_col = pa.ListArray.from_arrays(blk_offsets, pa.array(block_last_vals, pa.int64()))
     bm_col = pa.ListArray.from_arrays(blk_offsets, pa.array(block_max_vals, pa.int64()))
-    return ids_col, tfs_col, bl_col, bm_col
+    return ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col
 
 
 def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -403,13 +435,13 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
 
         carry: dict | None = None  # trailing (possibly incomplete) run
 
-        def emit(parts_col, terms_col, offsets, doc_ids, tfs):
+        def emit(parts_col, terms_col, offsets, doc_ids, tfs, dls, keys):
             # parts_col/terms_col are Arrow arrays of ONE entry per run —
             # terms never round-trip through Python (a 10M-row to_pylist()
             # per task dominated the pack pass before)
             lens = np.diff(offsets)
-            ids_col, tfs_col, bl_col, bm_col = _pack_arrays(
-                offsets.astype(np.int64), doc_ids, tfs
+            ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col = _pack_arrays(
+                offsets.astype(np.int64), doc_ids, tfs, dls, keys
             )
             return pa.RecordBatch.from_arrays(
                 [
@@ -418,21 +450,24 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                     pa.array(lens.astype(np.int64)),
                     pa.array(np.add.reduceat(tfs.astype(np.int64), offsets[:-1])
                              if len(doc_ids) else np.empty(0, np.int64)),
-                    ids_col, tfs_col, bl_col, bm_col,
+                    ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col,
                     pa.array(doc_ids[offsets[:-1]].astype(np.int32)
                              if len(doc_ids) else np.empty(0, np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
+                       "ids", "tfs", "dls", "keys",
+                       "block_last", "block_max_tf", "first_id"],
             )
 
         def emit_carry(c):
             c_ids = np.concatenate(c["ids"])
             c_tfs = np.concatenate(c["tfs"])
+            c_dls = np.concatenate(c["dls"])
+            c_keys = np.concatenate(c["keys"])
             return emit(
                 pa.array([c["part"]], pa.int32()),
                 pa.array([c["term"]], pa.string()),
-                np.array([0, len(c_ids)], np.int64), c_ids, c_tfs,
+                np.array([0, len(c_ids)], np.int64), c_ids, c_tfs, c_dls, c_keys,
             )
 
         for batch in batches:
@@ -440,6 +475,8 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
             terms_arr = batch.column("term")
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False)
+            keys = batch.column("doc_key").to_numpy(zero_copy_only=False)
             m = len(parts)
             if m == 0:
                 continue
@@ -454,6 +491,8 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                     first_end = starts[1] if len(starts) > 1 else m
                     carry["ids"].append(doc_ids[:first_end])
                     carry["tfs"].append(tfs[:first_end])
+                    carry["dls"].append(dls[:first_end])
+                    carry["keys"].append(keys[:first_end])
                     if len(starts) == 1:
                         continue  # whole batch continues the carried run
                     starts = starts[1:]
@@ -466,6 +505,8 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                 "term": terms_arr[last_start].as_py(),
                 "ids": [doc_ids[last_start:]],
                 "tfs": [tfs[last_start:]],
+                "dls": [dls[last_start:]],
+                "keys": [keys[last_start:]],
             }
             if len(starts) > 1:
                 # complete runs span [starts[0], last_start); boundaries are
@@ -479,6 +520,8 @@ def packed_from_flat(flat: DataFrame, num_partitions: int | None = None) -> Data
                     rel,
                     doc_ids[s0:last_start],
                     tfs[s0:last_start],
+                    dls[s0:last_start],
+                    keys[s0:last_start],
                 )
         if carry is not None:
             yield emit_carry(carry)
@@ -522,20 +565,21 @@ def packed_fused(
     st = get_stemmer(stemmer)
     spark = docs.sparkSession
     n = num_tasks or spark.sparkContext.defaultParallelism * 2
-    src = docs.select("part", "doc_id", F.col(text_col)).repartition(n, "part")
+    src = docs.select("part", "doc_id", "doc_key", F.col(text_col)).repartition(n, "part")
 
     def _tok_pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from collections import Counter
 
-        # per part: term interner + chunked (code, doc_id, tf) buffers
+        # per part: term interner + chunked (code, doc_id, tf, key) buffers
         interns: dict[int, dict[str, int]] = {}
-        bufs: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        bufs: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {}
         for batch in batches:
             parts = batch.column("part").to_numpy(zero_copy_only=False)
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keys_in = batch.column("doc_key").to_numpy(zero_copy_only=False)
             texts = batch.column(text_col).to_pylist()
-            b_code, b_doc, b_tf, b_part = [], [], [], []
-            for p, d, txt in zip(parts, doc_ids, texts):
+            b_code, b_doc, b_tf, b_part, b_key = [], [], [], [], []
+            for p, d, ky, txt in zip(parts, doc_ids, keys_in, texts):
                 if not txt:
                     continue
                 toks = find_re.findall(txt.lower())
@@ -555,37 +599,47 @@ def packed_fused(
                 b_code.append(np.fromiter(codes, dtype=np.int64, count=k))
                 b_doc.append(np.full(k, d, dtype=np.int32))
                 b_tf.append(np.fromiter(counts.values(), dtype=np.int32, count=k))
+                b_key.append(np.full(k, ky, dtype=np.int64))
             if b_code:
                 pc_ = np.concatenate(b_part)
                 cc = np.concatenate(b_code)
                 dd = np.concatenate(b_doc)
                 tt = np.concatenate(b_tf)
+                kk = np.concatenate(b_key)
                 for p in np.unique(pc_):
                     m = pc_ == p
-                    bufs.setdefault(int(p), []).append((cc[m], dd[m], tt[m]))
+                    bufs.setdefault(int(p), []).append((cc[m], dd[m], tt[m], kk[m]))
         for p in sorted(bufs):
-            codes = np.concatenate([c for c, _, _ in bufs[p]])
-            docs_ = np.concatenate([d for _, d, _ in bufs[p]])
-            tfs_ = np.concatenate([t for _, _, t in bufs[p]])
+            codes = np.concatenate([c for c, _, _, _ in bufs[p]])
+            docs_ = np.concatenate([d for _, d, _, _ in bufs[p]])
+            tfs_ = np.concatenate([t for _, _, t, _ in bufs[p]])
+            keys_ = np.concatenate([k for _, _, _, k in bufs[p]])
             # forward dl array as a sentinel posting row (docId=-1 cell
             # analog): dl per doc = Σtf, ids ascending by construction
             dl_arr = np.bincount(docs_, weights=tfs_).astype(np.int64)
             dl_ids = np.flatnonzero(dl_arr).astype(np.int32)
             dl_tfs = dl_arr[dl_ids].astype(np.int32)
+            # per-doc key lookup (dense in doc_id within the part)
+            key_map = np.zeros(int(docs_.max()) + 1, dtype=np.int64)
+            key_map[docs_] = keys_
+            dl_keys = key_map[dl_ids]
             dl_off = np.array([0, len(dl_ids)], dtype=np.int64)
-            d_ids, d_tfs, d_bl, d_bm = _pack_arrays(dl_off, dl_ids, dl_tfs)
+            d_ids, d_tfs, d_dls, d_keys, d_bl, d_bm = _pack_arrays(
+                dl_off, dl_ids, dl_tfs, dl_tfs, dl_keys
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.array([p], dtype=np.int32)),
                     pa.array([DL_TERM], pa.string()),
                     pa.array(np.array([len(dl_ids)], dtype=np.int64)),
                     pa.array(np.array([int(dl_tfs.sum())], dtype=np.int64)),
-                    d_ids, d_tfs, d_bl, d_bm,
+                    d_ids, d_tfs, d_dls, d_keys, d_bl, d_bm,
                     pa.array(dl_ids[:1].astype(np.int32)
                              if len(dl_ids) else np.array([0], np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
+                       "ids", "tfs", "dls", "keys",
+                       "block_last", "block_max_tf", "first_id"],
             )
             terms = np.array(list(interns[p].keys()))
             # sort by (term STRING, doc_id): order must match the shuffle-sort
@@ -593,12 +647,15 @@ def packed_fused(
             code_rank = np.empty(len(terms), dtype=np.int64)
             code_rank[np.argsort(terms, kind="stable")] = np.arange(len(terms))
             order = np.lexsort((docs_, code_rank[codes]))
-            codes, docs_, tfs_ = codes[order], docs_[order], tfs_[order]
+            codes, docs_, tfs_, keys_ = codes[order], docs_[order], tfs_[order], keys_[order]
+            dls_ = dl_arr[docs_].astype(np.int32)
             ranked = code_rank[codes]
             starts = np.concatenate(([0], np.flatnonzero(ranked[1:] != ranked[:-1]) + 1))
             offsets = np.concatenate((starts, [len(codes)])).astype(np.int64)
             lens = np.diff(offsets)
-            ids_col, tfs_col, bl_col, bm_col = _pack_arrays(offsets, docs_, tfs_)
+            ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col = _pack_arrays(
+                offsets, docs_, tfs_, dls_, keys_
+            )
             sorted_terms = terms[np.argsort(terms, kind="stable")]
             yield pa.RecordBatch.from_arrays(
                 [
@@ -606,11 +663,12 @@ def packed_fused(
                     pa.array(sorted_terms[ranked[starts]], pa.string()),
                     pa.array(lens.astype(np.int64)),
                     pa.array(np.add.reduceat(tfs_.astype(np.int64), offsets[:-1])),
-                    ids_col, tfs_col, bl_col, bm_col,
+                    ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col,
                     pa.array(docs_[offsets[:-1]].astype(np.int32)),
                 ],
                 names=["part", "term", "df_part", "cum_tf_part",
-                       "ids", "tfs", "block_last", "block_max_tf", "first_id"],
+                       "ids", "tfs", "dls", "keys",
+                       "block_last", "block_max_tf", "first_id"],
             )
 
     return src.mapInArrow(_tok_pack, PACKED_SCHEMA)
@@ -635,14 +693,18 @@ def pack_segments(segments: DataFrame) -> DataFrame:
             child = plist.values
             doc_ids = np.asarray(child.field("doc_id"))[base : base + offsets[-1]]
             tfs = np.asarray(child.field("tf"))[base : base + offsets[-1]]
-            ids_col, tfs_col, bl_col, bm_col = _pack_arrays(offsets, doc_ids, tfs)
+            dls = np.asarray(child.field("dl"))[base : base + offsets[-1]]
+            keys = np.asarray(child.field("doc_key"))[base : base + offsets[-1]]
+            ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col = _pack_arrays(
+                offsets, doc_ids, tfs, dls, keys
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("part"),
                     batch.column("term"),
                     batch.column("df_part"),
                     batch.column("cum_tf_part"),
-                    ids_col, tfs_col, bl_col, bm_col,
+                    ids_col, tfs_col, dls_col, keys_col, bl_col, bm_col,
                     pa.array(
                         np.asarray(doc_ids[offsets[:-1]], dtype=np.int32)
                         if len(doc_ids) else np.empty(len(offsets) - 1, np.int32)
@@ -650,7 +712,8 @@ def pack_segments(segments: DataFrame) -> DataFrame:
                 ],
                 names=[
                     "part", "term", "df_part", "cum_tf_part",
-                    "ids", "tfs", "block_last", "block_max_tf", "first_id",
+                    "ids", "tfs", "dls", "keys",
+                    "block_last", "block_max_tf", "first_id",
                 ],
             )
 
@@ -659,7 +722,7 @@ def pack_segments(segments: DataFrame) -> DataFrame:
 
 
 def unpack_postings(packed: DataFrame) -> DataFrame:
-    """Inverse of pack_segments → flat (part, term, doc_id, tf)."""
+    """Inverse of pack_segments → flat (part, term, doc_id, tf, dl, doc_key)."""
 
     def _unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -667,14 +730,21 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
             terms = batch.column("term").to_pylist()
             ids_col = batch.column("ids").to_pylist()
             tfs_col = batch.column("tfs").to_pylist()
+            dls_col = batch.column("dls").to_pylist()
+            keys_col = batch.column("keys").to_pylist()
             out_part, out_term, out_doc, out_tf = [], [], [], []
-            for p, term, ib, tb in zip(parts, terms, ids_col, tfs_col):
+            out_dl, out_key = [], []
+            for p, term, ib, tb, db, kb in zip(
+                parts, terms, ids_col, tfs_col, dls_col, keys_col
+            ):
                 d = codec.delta_unpack(ib)
                 t = codec.tf_unpack(tb)
                 out_part.append(np.full(len(d), p, dtype=np.int32))
                 out_term.extend([term] * len(d))
                 out_doc.append(d.astype(np.int32))
                 out_tf.append(t.astype(np.int32))
+                out_dl.append(codec.tf_unpack(db).astype(np.int32))
+                out_key.append(codec.delta_unpack(kb).astype(np.int64))
             if out_part:
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -682,12 +752,14 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
                         pa.array(out_term, pa.string()),
                         pa.array(np.concatenate(out_doc)),
                         pa.array(np.concatenate(out_tf)),
+                        pa.array(np.concatenate(out_dl)),
+                        pa.array(np.concatenate(out_key)),
                     ],
-                    names=["part", "term", "doc_id", "tf"],
+                    names=["part", "term", "doc_id", "tf", "dl", "doc_key"],
                 )
 
-    return packed.select("part", "term", "ids", "tfs").mapInArrow(
-        _unpack, "part int, term string, doc_id int, tf int"
+    return packed.select("part", "term", "ids", "tfs", "dls", "keys").mapInArrow(
+        _unpack, "part int, term string, doc_id int, tf int, dl int, doc_key long"
     )
 
 
@@ -728,11 +800,14 @@ class IndexHandle:
     """In-memory handle over the built index artifacts."""
 
     docs: DataFrame          # source + (part, doc_id, doc_key, dl, tokens, content_sha)
-    flat: DataFrame          # (part, term, doc_id, tf)
+    flat: DataFrame          # (part, term, doc_id, tf, dl, doc_key) — self-contained for scoring
     segments: DataFrame      # (part, term, plist, df_part, cum_tf_part)
     packed: DataFrame        # delta+varint blocks
     stats: DataFrame         # (term, df, cum_tf)
-    lens: DataFrame          # (part, doc_id, doc_key, dl)
+    # (part, doc_id, doc_key, dl) — OFF the hot query path since postings
+    # carry dl/doc_key themselves; consulted only by the doc-universe
+    # fallback (pure-negation trees), TIME-with-tree, and first/latest.
+    lens: DataFrame
     corpus: CorpusStats
     hot_terms: list[str]
     # loaded-from-disk index: ``flat`` is unpack_postings(packed), a Python
@@ -783,13 +858,14 @@ class IndexHandle:
 def aux_postings(
     docs: DataFrame, aux_fields: list[str], numeric_fields: list[str] | None = None
 ) -> DataFrame:
-    """(part, doc_id, term) single-term field postings with composite terms
-    ``field:value`` — the reference's per-field primary indexes with composed
-    term bytes (MiruTermComposer.compose prefix encoding, m-plugin/index/
-    MiruTermComposer.java:35-83; singleTerm field type,
+    """(part, doc_id, doc_key, term) single-term field postings with composite
+    terms ``field:value`` — the reference's per-field primary indexes with
+    composed term bytes (MiruTermComposer.compose prefix encoding,
+    m-plugin/index/MiruTermComposer.java:35-83; singleTerm field type,
     m-api/activity/schema/MiruFieldDefinition.java:59-113). The ':' separator
     cannot occur in a content token ([a-z0-9_']+), so the namespaces never
-    collide. No tokenization, no tf — one row per (doc, field).
+    collide. No tokenization, no tf — one row per (doc, field). doc_key rides
+    each row so the single-scan tree evaluator never joins doclens.
 
     ``numeric_fields`` compose via the lexicographic fixed-width numeric
     encoding (miru_spark.termcomp; MiruTermComposer.Prefix.Type.numeric) so
@@ -802,7 +878,8 @@ def aux_postings(
     for f in numeric_fields or []:
         parts.append(
             docs.select(
-                "part", "doc_id", numeric_composite_col(f, F.col(f)).alias("term")
+                "part", "doc_id", "doc_key",
+                numeric_composite_col(f, F.col(f)).alias("term"),
             )
         )
     for f in aux_fields:
@@ -812,9 +889,12 @@ def aux_postings(
             # posting lists (m-plugin/index/MiruAuthzIndex.java) and
             # multiTerm primary indexes share this shape
             parts.append(
-                docs.select("part", "doc_id", F.explode(F.col(f)).alias("_v")).select(
+                docs.select(
+                    "part", "doc_id", "doc_key", F.explode(F.col(f)).alias("_v")
+                ).select(
                     "part",
                     "doc_id",
+                    "doc_key",
                     F.concat(F.lit(f + ":"), F.lower(F.col("_v").cast("string"))).alias("term"),
                 )
             )
@@ -823,6 +903,7 @@ def aux_postings(
                 docs.select(
                     "part",
                     "doc_id",
+                    "doc_key",
                     F.concat(F.lit(f + ":"), F.lower(F.col(f).cast("string"))).alias("term"),
                 )
             )

@@ -44,8 +44,9 @@ B = 0.75
 
 
 def postings_for_terms(index: IndexHandle, terms: list[str]) -> DataFrame:
-    """(part, term, doc_id, tf) for exactly the given terms, with the term
-    predicate reaching the parquet scan.
+    """(part, term, doc_id, tf, dl, doc_key) for exactly the given terms,
+    with the term predicate reaching the parquet scan. Rows are
+    self-contained for scoring (dl + doc_key packed per posting).
 
     On an in-memory build ``flat`` is a cached relation — filtering it is
     cheap. On a LOADED index ``flat`` is unpack_postings(packed), a Python
@@ -160,11 +161,11 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
             [], "part int, doc_id int, doc_key long, score double, matched long"
         )
 
-    cand = (
-        postings_for_terms(index, terms)  # term predicate reaches the scan
-        .join(F.broadcast(q), "term")
-        .join(index.lens, ["part", "doc_id"])
-    )
+    # the posting rows are SELF-CONTAINED for scoring (tf + dl + doc_key
+    # packed per posting — build.PACKED_SCHEMA): no join against the
+    # O(corpus) doclens relation; the only big-table touch stays the
+    # term-pruned postings scan
+    cand = postings_for_terms(index, terms).join(F.broadcast(q), "term")
     contrib = cand.withColumn(
         "contrib", _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl)
     )
@@ -404,7 +405,6 @@ def top_k_tree(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         contrib = (
             postings_for_terms(index, terms)
             .join(F.broadcast(q), "term")
-            .join(index.lens.select("part", "doc_id", "dl"), ["part", "doc_id"])
             .withColumn(
                 "contrib",
                 _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl),
@@ -486,11 +486,14 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
             content_terms.update(terms)
             preds.append(F.col("term").isin(terms) if terms else F.lit(False))
 
+    # every scan row carries its own doc_key (+ dl on content rows) — no
+    # doclens join; aux rows never score, so their dl is null and their
+    # contrib drops out of the fold below
     srcs = []
     if content_terms:
         srcs.append(
             postings_for_terms(index, sorted(content_terms)).select(
-                "part", "doc_id", "term", "tf"
+                "part", "doc_id", "doc_key", "term", "tf", "dl"
             )
         )
     if aux_preds:
@@ -499,7 +502,8 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
             apred = apred | p
         srcs.append(
             index.aux.filter(apred).select(
-                "part", "doc_id", "term", F.lit(1).alias("tf")
+                "part", "doc_id", "doc_key", "term",
+                F.lit(1).alias("tf"), F.lit(None).cast("int").alias("dl"),
             )
         )
     if not srcs:
@@ -508,7 +512,7 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     for s in srcs[1:]:
         scan = scan.unionByName(s)
 
-    cand = scan.join(index.lens, ["part", "doc_id"])
+    cand = scan
     if spec.time_range is not None:
         lo, hi = spec.time_range
         cand = cand.filter(F.col("doc_key").between(int(lo), int(hi)))

@@ -59,25 +59,34 @@ def _tfidf_contrib(tf: np.ndarray, cum_tf: float, qtf: float) -> np.ndarray:
 
 class _TermCtx:
     __slots__ = ("term", "qtf", "clause", "df", "cum_tf", "ids", "tfs",
-                 "block_last", "block_max_tf", "ub")
+                 "dls", "keys", "block_last", "block_max_tf", "ub")
 
-    def __init__(self, term, qtf, clause, df, cum_tf, ids, tfs, block_last, block_max_tf):
+    def __init__(self, term, qtf, clause, df, cum_tf, ids, tfs, dls, keys,
+                 block_last, block_max_tf):
         self.term, self.qtf, self.clause = term, qtf, clause
         self.df, self.cum_tf = df, cum_tf
         self.ids, self.tfs = ids, tfs
+        self.dls, self.keys = dls, keys
         self.block_last, self.block_max_tf = block_last, block_max_tf
         self.ub = 0.0
 
 
 def _decode_terms(
-    pdf: pd.DataFrame, qinfo: dict, stats: dict, neg_ids: np.ndarray | None = None
+    pdf: pd.DataFrame,
+    qinfo: dict,
+    stats: dict,
+    neg_ids: np.ndarray | None = None,
+    time_range: tuple[int, int] | None = None,
 ) -> list[_TermCtx]:
-    """Decode the query terms' postings; docs in ``neg_ids`` are removed from
-    every positive list BEFORE any kernel runs (pButNotQ). This is the only
-    correct place for negation with a top-k heap: filtering after truncation
-    lets negated docs fill the heap and raise θ, pruning legitimate docs.
-    Block metadata stays as packed — block_max bounds remain valid upper
-    bounds for the surviving ids (pruning only gets less tight)."""
+    """Decode the query terms' postings (ids, tfs + the per-posting dl/key
+    attributes — the postings are self-contained, no doclens lookup); docs in
+    ``neg_ids`` are removed from every positive list BEFORE any kernel runs
+    (pButNotQ), and ``time_range`` masks by the decoded doc_key the same way
+    (time IS insertion order — Miru's timeRange). This is the only correct
+    place for either mask with a top-k heap: filtering after truncation lets
+    masked docs fill the heap and raise θ, pruning legitimate docs. Block
+    metadata stays as packed — block_max bounds remain valid upper bounds for
+    the surviving ids (pruning only gets less tight)."""
     out = []
     for row in pdf.itertuples(index=False):
         if row.term not in qinfo:
@@ -86,13 +95,19 @@ def _decode_terms(
         df_g, cum_g = stats[row.term]
         ids = codec.delta_unpack(bytes(row.ids))
         tfs = codec.tf_unpack(bytes(row.tfs))
+        dls = codec.tf_unpack(bytes(row.dls))
+        keys = codec.delta_unpack(bytes(row.keys))
+        if time_range is not None:
+            lo, hi = time_range
+            keep = (keys >= lo) & (keys <= hi)
+            ids, tfs, dls, keys = ids[keep], tfs[keep], dls[keep], keys[keep]
         if neg_ids is not None and len(neg_ids):
             keep = ~np.isin(ids, neg_ids, assume_unique=True)
-            ids, tfs = ids[keep], tfs[keep]
+            ids, tfs, dls, keys = ids[keep], tfs[keep], dls[keep], keys[keep]
         if not len(ids):
             continue
         out.append(
-            _TermCtx(row.term, qtf, clause, df_g, cum_g, ids, tfs,
+            _TermCtx(row.term, qtf, clause, df_g, cum_g, ids, tfs, dls, keys,
                      np.asarray(row.block_last, dtype=np.int64),
                      np.asarray(row.block_max_tf, dtype=np.int64))
         )
@@ -100,10 +115,11 @@ def _decode_terms(
     return out
 
 
-def _exact_scores(terms: list[_TermCtx], doc_ids: np.ndarray, dl_arr: np.ndarray,
+def _exact_scores(terms: list[_TermCtx], doc_ids: np.ndarray,
                   scorer: str, n_docs: int, avgdl: float) -> np.ndarray:
     """Ascending-term-order exact rescore of a candidate id set — float ops
-    identical to the DataFrame path's ordered fold."""
+    identical to the DataFrame path's ordered fold. dl comes from the hit
+    term's own posting row (the same doc carries the same dl in every list)."""
     scores = np.zeros(len(doc_ids), dtype=np.float64)
     for t in terms:  # already term-ascending
         pos = np.searchsorted(t.ids, doc_ids)
@@ -113,14 +129,15 @@ def _exact_scores(terms: list[_TermCtx], doc_ids: np.ndarray, dl_arr: np.ndarray
             continue
         tf = t.tfs[pos_c[hit]].astype(np.float64)
         if scorer == "bm25":
-            c = _bm25_contrib(tf, dl_arr[doc_ids[hit]], t.df, n_docs, avgdl, t.qtf)
+            dl = t.dls[pos_c[hit]].astype(np.float64)
+            c = _bm25_contrib(tf, dl, t.df, n_docs, avgdl, t.qtf)
         else:
             c = _tfidf_contrib(tf, t.cum_tf, t.qtf)
         scores[hit] = scores[hit] + c
     return scores
 
 
-def _kernel_and(terms, required_clauses, dl_arr, scorer, n_docs, avgdl, k):
+def _kernel_and(terms, required_clauses, scorer, n_docs, avgdl, k):
     """Intersect clause id-sets (rarest first), vectorized rescore."""
     by_clause: dict[int, np.ndarray] = {}
     for t in terms:
@@ -133,19 +150,19 @@ def _kernel_and(terms, required_clauses, dl_arr, scorer, n_docs, avgdl, k):
         cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
         if len(cand) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-    scores = _exact_scores(terms, cand, dl_arr, scorer, n_docs, avgdl)
+    scores = _exact_scores(terms, cand, scorer, n_docs, avgdl)
     return cand, scores
 
 
-def _kernel_taat(terms, dl_arr, scorer, n_docs, avgdl):
+def _kernel_taat(terms, scorer, n_docs, avgdl):
     """Dense-accumulator TAAT: exact OR scoring, fully vectorized."""
-    size = len(dl_arr)
+    size = max(int(t.ids[-1]) for t in terms) + 1
     acc = np.zeros(size, dtype=np.float64)
     seen = np.zeros(size, dtype=bool)
     for t in terms:
         tf = t.tfs.astype(np.float64)
         if scorer == "bm25":
-            c = _bm25_contrib(tf, dl_arr[t.ids], t.df, n_docs, avgdl, t.qtf)
+            c = _bm25_contrib(tf, t.dls.astype(np.float64), t.df, n_docs, avgdl, t.qtf)
         else:
             c = _tfidf_contrib(tf, t.cum_tf, t.qtf)
         acc[t.ids] += c
@@ -169,7 +186,7 @@ def _block_ub(t: _TermCtx, blk: int, scorer: str, n_docs: int, avgdl: float) -> 
     return float(_tfidf_contrib(np.array([mx]), t.cum_tf, t.qtf)[0])
 
 
-def _kernel_wand(terms, dl_arr, scorer, n_docs, avgdl, k):
+def _kernel_wand(terms, scorer, n_docs, avgdl, k):
     """Document-at-a-time block-max WAND (Broder et al. 2003; Ding & Suel
     2011 block-max variant). Exact top-k for OR semantics.
 
@@ -221,7 +238,7 @@ def _kernel_wand(terms, dl_arr, scorer, n_docs, avgdl, k):
                         tf = np.array([float(t.tfs[p])])
                         if scorer == "bm25":
                             score += float(
-                                _bm25_contrib(tf, dl_arr[np.array([pivot_doc])], t.df,
+                                _bm25_contrib(tf, np.array([float(t.dls[p])]), t.df,
                                               n_docs, avgdl, t.qtf)[0])
                         else:
                             score += float(_tfidf_contrib(tf, t.cum_tf, t.qtf)[0])
@@ -255,7 +272,7 @@ def _kernel_wand(terms, dl_arr, scorer, n_docs, avgdl, k):
     if not evaluated:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.array(sorted({d for _, d in heap}), dtype=np.int64)
-    scores = _exact_scores(terms, docs, dl_arr, scorer, n_docs, avgdl)
+    scores = _exact_scores(terms, docs, scorer, n_docs, avgdl)
     return docs, scores
 
 
@@ -304,15 +321,10 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     kk = spec.k
     time_range = spec.time_range
 
-    def run_part(post_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        if post_pdf.empty or lens_pdf.empty:
+    def run_part(post_pdf: pd.DataFrame, removed_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty:
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
-        max_doc = int(lens_pdf["doc_id"].max())
-        dl_arr = np.zeros(max_doc + 1, dtype=np.float64)
-        dl_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["dl"].to_numpy()
-        key_arr = np.zeros(max_doc + 1, dtype=np.int64)
-        key_arr[lens_pdf["doc_id"].to_numpy()] = lens_pdf["doc_key"].to_numpy()
         # decode negated docs FIRST so they never enter any kernel's heap
         neg_ids = None
         if neg_terms:
@@ -321,42 +333,27 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
                 neg_ids = np.unique(
                     np.concatenate([codec.delta_unpack(bytes(b)) for b in neg_rows["ids"]])
                 )
-        if "_removed" in lens_pdf.columns:
+        if not removed_pdf.empty:
             # removal index → pre-admission mask (the reference ANDs the
             # complement before any scoring, MiruBitmaps.buildIndexMask) —
             # filtering after the heap would let tombstoned docs raise θ
-            rm = lens_pdf["doc_id"].to_numpy()[
-                lens_pdf["_removed"].fillna(False).to_numpy(dtype=bool)
-            ]
-            if len(rm):
-                neg_ids = rm if neg_ids is None else np.union1d(neg_ids, rm)
-        if time_range is not None:
-            # timeRange = doc_key range (Miru's time IS insertion order);
-            # excluded ids join the pre-admission mask — filtering after the
-            # heap would prune legitimate in-range docs
-            out_of_range = lens_pdf["doc_id"].to_numpy()[
-                (lens_pdf["doc_key"].to_numpy() < time_range[0])
-                | (lens_pdf["doc_key"].to_numpy() > time_range[1])
-            ]
-            if len(out_of_range):
-                merged = (
-                    np.union1d(neg_ids, out_of_range)
-                    if neg_ids is not None
-                    else np.unique(out_of_range)
-                )
-                neg_ids = merged
+            rm = removed_pdf["doc_id"].to_numpy()
+            neg_ids = np.unique(rm) if neg_ids is None else np.union1d(neg_ids, rm)
+        # the timeRange doc_key mask applies inside _decode_terms (the
+        # postings carry their own keys) — same pre-admission semantics
         pos_terms = _decode_terms(
-            post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats, neg_ids
+            post_pdf[~post_pdf["term"].isin(neg_terms)], qinfo, stats, neg_ids,
+            time_range,
         )
         if not pos_terms:
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
         if op == "and":
-            docs, scores = _kernel_and(pos_terms, required, dl_arr, sc, n_docs, avgdl, kk)
+            docs, scores = _kernel_and(pos_terms, required, sc, n_docs, avgdl, kk)
         elif kern == "wand":
-            docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
+            docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk)
         elif kern == "taat" or sc != "bm25":
-            docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
+            docs, scores = _kernel_taat(pos_terms, sc, n_docs, avgdl)
         else:
             # auto: on this numpy substrate the dense-accumulator TAAT scan
             # beats the Python pivot loop by ~40× until posting volume is
@@ -367,30 +364,39 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
             # state stays O(capacity) either way.
             total_postings = sum(len(t.ids) for t in pos_terms)
             if total_postings <= _TAAT_CUTOFF:
-                docs, scores = _kernel_taat(pos_terms, dl_arr, sc, n_docs, avgdl)
+                docs, scores = _kernel_taat(pos_terms, sc, n_docs, avgdl)
             else:
-                docs, scores = _kernel_wand(pos_terms, dl_arr, sc, n_docs, avgdl, kk)
+                docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk)
         if not len(docs):
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
+        # doc_id → doc_key from the decoded lists themselves (every hit doc
+        # appears in ≥1 query-term list, each row carrying its key)
+        all_ids = np.concatenate([t.ids for t in pos_terms])
+        all_keys = np.concatenate([t.keys for t in pos_terms])
+        uniq, first = np.unique(all_ids, return_index=True)
+        key_of = all_keys[first]
         # per-partition partial top-k (the reference's per-partition heap)
         order = np.lexsort((-docs, -np.round(scores, 6)))[:kk]
-        return pd.DataFrame({"doc": key_arr[docs[order]],
+        winners = docs[order]
+        keys_out = key_of[np.searchsorted(uniq, winners)]
+        return pd.DataFrame({"doc": keys_out,
                              "score": np.round(scores[order], 6)})
 
     posts = index.packed.filter(F.col("term").isin(terms + neg_terms)).select(
-        "part", "term", "ids", "tfs", "block_last", "block_max_tf"
+        "part", "term", "ids", "tfs", "dls", "keys", "block_last", "block_max_tf"
     )
-    lens = index.lens
-    if index.removed is not None:
-        lens = lens.join(
-            index.removed.select("part", "doc_id").withColumn("_removed", F.lit(True)),
-            ["part", "doc_id"],
-            "left",
-        )
+    # the removal mask is the ONLY non-posting relation the kernel needs
+    # (postings are self-contained: tf/dl/doc_key per row) — the old
+    # full-doclens cogroup shuffled the whole corpus per query
+    removed = (
+        index.removed.select("part", "doc_id")
+        if index.removed is not None
+        else spark.createDataFrame([], "part int, doc_id int")
+    )
     result = (
         posts.groupBy("part")
-        .cogroup(lens.groupBy("part"))
+        .cogroup(removed.groupBy("part"))
         .applyInPandas(lambda left, right: run_part(left, right), "doc long, score double")
     )
     return result.orderBy(F.desc("score"), F.desc("doc")).limit(spec.k)

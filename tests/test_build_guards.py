@@ -88,11 +88,12 @@ def test_unpersist_releases_cached(spark, documents):
 
 def test_first_latest_matches_decode_path(doc_index):
     # the metadata path (first_id + last block_last) must agree with a full
-    # decode + min/max over doc_key
+    # decode + min/max over doc_key (flat is self-contained — it carries
+    # doc_key per posting row, no lens join)
     meta = {r["term"]: r for r in fulltext.index_first_latest(doc_index).collect()}
     brute = {
         r["term"]: r
-        for r in doc_index.flat.join(doc_index.lens, ["part", "doc_id"])
+        for r in doc_index.flat
         .groupBy("term")
         .agg(
             F.min("doc_key").alias("first_doc"),

@@ -120,7 +120,17 @@ def test_arrow_tokenizer_matches_catalyst(doc_index):
     )
     a = doc_index.flat.orderBy("part", "term", "doc_id").toPandas()
     b = catalyst.orderBy("part", "term", "doc_id").toPandas()
-    assert a.equals(b)
+    assert a[["part", "term", "doc_id", "tf"]].equals(b)
+    # the denormalized per-posting attributes must agree with the doc
+    # relation on EVERY row (self-contained-postings invariant)
+    docs = (
+        doc_index.lens.select("part", "doc_id", "doc_key", "dl")
+        .toPandas()
+        .set_index(["part", "doc_id"])
+    )
+    looked = docs.loc[list(zip(a["part"], a["doc_id"]))]
+    assert (a["doc_key"].to_numpy() == looked["doc_key"].to_numpy()).all()
+    assert (a["dl"].to_numpy() == looked["dl"].to_numpy()).all()
 
 
 def test_tree_combination_paranoia_sweep(doc_index, documents):
