@@ -1,0 +1,88 @@
+"""Per-locale analyzer selection — Miru's TermAnalyzers.findAnalyzer
+restated over this engine's analyzer dialects.
+
+Reference behavior (miru-plugin/src/main/java/com/jivesoftware/os/miru/
+plugin/query/TermAnalyzers.java:119-138): exact locale lookup in a
+stopword or non-stopword analyzer map, then repeatedly strip trailing
+``_``-segments ("en_US" -> "en"), then fall back to a StandardAnalyzer
+(with Lucene's English stop set iff useStopWords). The analyzer picked at
+ingest is the analyzer used at query parse — one deterministic spec.
+
+Here an analyzer IS its spec: the (stopwords, stemmer) pair threaded
+through both Arrow tokenize kernels, the Catalyst tokenizer, the DuckDB
+oracle dialect, the query parser and the persistent-index fingerprint
+(tokenize.py / stem.py / operators/build.py). The registry ships the
+locales this engine can honor faithfully with public material:
+
+* ``en`` (and ``en_*`` via the fallback walk) — English stop set +
+  Porter stemmer, the EnglishAnalyzer chain.
+* everything else — the standard spec (LogMill code-regex tokenizer, no
+  stemming; English stop set iff use_stop_words, mirroring the
+  reference's STOPWORD_STANDARD_ANALYZER).
+
+Language-specific analyzers for the other ~30 locales the reference wires
+(Snowball stemmer family + per-language stop sets) are a DOCUMENTED
+DELTA: re-implementing thirty stemmers adds no new engine machinery —
+``register_analyzer`` is the extension point, and a registered spec flows
+through build/query/fingerprint with zero further wiring (asserted in
+tests/test_analyzers.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from miru_spark.tokenize import ENGLISH_STOPWORDS
+
+
+@dataclass(frozen=True)
+class AnalyzerSpec:
+    """What build_index / parse_query consume: keyword-ready dialects."""
+
+    stopwords: frozenset[str] | None = None
+    stemmer: str | None = None
+
+    def build_kwargs(self) -> dict:
+        return {"stopwords": self.stopwords, "stemmer": self.stemmer}
+
+
+# locale -> (with-stopwords spec, without-stopwords spec); the second still
+# stems — the reference's nonStopwordAnalyzers are the same analyzers with
+# an EMPTY stop set, not StandardAnalyzer.
+_REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
+    "en": (
+        AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer="porter"),
+        AnalyzerSpec(stopwords=None, stemmer="porter"),
+    ),
+}
+
+_STANDARD_STOP = AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer=None)
+_STANDARD = AnalyzerSpec(stopwords=None, stemmer=None)
+
+
+def register_analyzer(
+    locale: str, with_stopwords: AnalyzerSpec, without_stopwords: AnalyzerSpec
+) -> None:
+    """Extension point for additional locales (the reference's builder map)."""
+    _REGISTRY[locale.lower()] = (with_stopwords, without_stopwords)
+
+
+def find_analyzer(locale: str | None, use_stop_words: bool = True) -> AnalyzerSpec:
+    """TermAnalyzers.findAnalyzer: exact match, then strip ``_`` tails,
+    then the standard analyzer (English stops iff use_stop_words)."""
+    spec_pair = None
+    if locale:
+        code = locale.lower()
+        spec_pair = _REGISTRY.get(code)
+        # the reference truncates at the FIRST '_' (indexOf/substring), so
+        # "pt_br_xx" falls back to "pt", never probing "pt_br" — keep that
+        # exact walk, including the (at most one) re-probe
+        while spec_pair is None:
+            ix = code.find("_")
+            if ix == -1:
+                break
+            code = code[:ix]
+            spec_pair = _REGISTRY.get(code)
+    if spec_pair is None:
+        return _STANDARD_STOP if use_stop_words else _STANDARD
+    return spec_pair[0] if use_stop_words else spec_pair[1]

@@ -172,6 +172,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+class IvfModel:
+    """Trained coarse quantizer — centroids held on a handle so repeated
+    queries never re-pay the corpus count + sample + k-means per call (the
+    round-4 VERDICT latency item; the persisted ``build_ivf_index`` /
+    ``ivf_search`` pair is the on-disk twin of this in-memory handle)."""
+
+    __slots__ = ("centroids", "n_centroids")
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids
+        self.n_centroids = int(len(centroids))
+
+
+def ivf_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> IvfModel:
+    """Train the coarse quantizer once; pass the returned model to
+    ``ivf_cosine_topk(..., model=...)`` for train-free queries."""
+    _require_integral_id(emb, id_col)
+    return IvfModel(
+        _train_centroids(emb, id_col, vec_col, n_centroids, sample, kmeans_iters, seed)
+    )
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     id_col: str,
@@ -183,6 +213,7 @@ def ivf_cosine_topk(
     sample: int = 2048,
     kmeans_iters: int = 5,
     seed: int = 42,
+    model: IvfModel | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer →
     per-centroid posting lists → probe the ``nprobe`` centroids nearest the
@@ -204,8 +235,15 @@ def ivf_cosine_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     dim = len(q)
 
-    # deterministic sample: hash-pick ~`sample` ids, collect, k-means
-    cn = _train_centroids(emb, id_col, vec_col, n_centroids, sample, kmeans_iters, seed)
+    if model is not None:
+        # pre-trained handle: no per-query count/collect/k-means
+        cn = model.centroids
+        n_centroids = model.n_centroids
+    else:
+        # deterministic sample: hash-pick ~`sample` ids, collect, k-means
+        cn = _train_centroids(
+            emb, id_col, vec_col, n_centroids, sample, kmeans_iters, seed
+        )
 
     probe = np.argsort(-(q / max(np.linalg.norm(q), 1e-12)) @ cn.T)[:nprobe]
     probe_set = set(int(c) for c in probe)

@@ -120,6 +120,26 @@ def test_ivf_topk_recall_and_full_probe(spark, emb):
     assert len(set(part["vec"]) & truth) / len(truth) >= 0.4
 
 
+def test_ivf_model_handle_skips_per_query_training(spark, emb, monkeypatch):
+    # fit once -> the handle path must (a) never call _train_centroids and
+    # (b) return results identical to the train-per-call path (same seed)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    inline = similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=50, n_centroids=16, nprobe=4
+    ).toPandas()
+    model = similarity.ivf_fit(emb, "vec_id", "embedding", n_centroids=16)
+
+    def _boom(*a, **kw):
+        raise AssertionError("model path must not retrain per query")
+
+    monkeypatch.setattr(similarity, "_train_centroids", _boom)
+    via_model = similarity.ivf_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=50, nprobe=4, model=model
+    ).toPandas()
+    assert list(via_model["vec"]) == list(inline["vec"])
+    assert list(via_model["cosine"]) == list(inline["cosine"])
+
+
 def test_ivf_persisted_index_partition_pruned_search(spark, emb, tmp_path):
     # the on-disk inverted file: vectors parquet partitioned by centroid;
     # search must (a) be exact at full probe, (b) PRUNE partitions at the
