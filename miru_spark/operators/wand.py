@@ -388,12 +388,17 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     )
     # the removal mask is the ONLY non-posting relation the kernel needs
     # (postings are self-contained: tf/dl/doc_key per row) — the old
-    # full-doclens cogroup shuffled the whole corpus per query
-    removed = (
-        index.removed.select("part", "doc_id")
-        if index.removed is not None
-        else spark.createDataFrame([], "part int, doc_id int")
-    )
+    # full-doclens cogroup shuffled the whole corpus per query. With no
+    # removal index at all, skip the cogroup machinery outright: one
+    # grouped map over the term-pruned postings, nothing else in the plan.
+    if index.removed is None:
+        empty_removed = pd.DataFrame({"part": pd.Series([], dtype="int32"),
+                                      "doc_id": pd.Series([], dtype="int32")})
+        result = posts.groupBy("part").applyInPandas(
+            lambda pdf: run_part(pdf, empty_removed), "doc long, score double"
+        )
+        return result.orderBy(F.desc("score"), F.desc("doc")).limit(spec.k)
+    removed = index.removed.select("part", "doc_id")
     result = (
         posts.groupBy("part")
         .cogroup(removed.groupBy("part"))

@@ -106,3 +106,29 @@ def test_sort_strategy_byte_identical_to_hash_agg(spark, documents):
     sa = sorted(tuple(r) for r in via_sort.select("part", "term", "df_part", "cum_tf_part", "block_last", "block_max_tf").collect())
     sb = sorted(tuple(r) for r in via_agg.select("part", "term", "df_part", "cum_tf_part", "block_last", "block_max_tf").collect())
     assert sa == sb
+
+
+def test_score_path_is_self_contained(doc_index):
+    """Postings carry tf+dl+doc_key per row (FORMAT_VERSION 4): the scoring
+    plan's ONLY join is the broadcast query-term relation — any shuffle
+    join here would be the O(corpus) doclens relation creeping back in."""
+    from miru_spark.filters import parse_query
+    from miru_spark.operators.fulltext import score_candidates
+
+    scored = score_candidates(doc_index, parse_query("spark AND join", k=10))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_wand_without_removal_skips_cogroup(doc_index):
+    """No removal index -> the kernel plan is ONE grouped map over the
+    term-pruned postings (no cogroup, no second grouped relation)."""
+    from miru_spark.operators import wand as wand_ops
+
+    assert doc_index.removed is None
+    out = wand_ops.wand_topk(doc_index, "spark OR join", k=10, kernel="taat")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
