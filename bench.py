@@ -163,8 +163,9 @@ def run_suite() -> dict:
         idx, parse_query("spark AND (join OR merge) NOT window", k=100)).collect())
     # the WAND kernel gate proves CORRECTNESS of the Python pivot loop, not
     # throughput (kernel='auto' takes the vectorized TAAT at this scale —
-    # measured 40×, BENCH/wand_profile_*.json); same spec as rounds 1-3 so
-    # round-over-round tables compare like for like
+    # 26× at 450k postings / 2.7× at 1.8M even after the r5 pivot-loop
+    # micro-opts halved WAND, BENCH/wand_profile_*.json); same spec as
+    # rounds 1-3 so round-over-round tables compare like for like
     _t("q_wand_or", lambda: wand_ops.wand_topk(
         idx, "spark OR vector OR dup", k=100, kernel="wand").collect())
 

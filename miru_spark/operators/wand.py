@@ -59,7 +59,8 @@ def _tfidf_contrib(tf: np.ndarray, cum_tf: float, qtf: float) -> np.ndarray:
 
 class _TermCtx:
     __slots__ = ("term", "qtf", "clause", "df", "cum_tf", "ids", "tfs",
-                 "dls", "keys", "block_last", "block_max_tf", "ub")
+                 "dls", "keys", "block_last", "block_max_tf", "ub",
+                 "idf", "ptr", "cur", "blk_ubs")
 
     def __init__(self, term, qtf, clause, df, cum_tf, ids, tfs, dls, keys,
                  block_last, block_max_tf):
@@ -69,6 +70,11 @@ class _TermCtx:
         self.dls, self.keys = dls, keys
         self.block_last, self.block_max_tf = block_last, block_max_tf
         self.ub = 0.0
+        # WAND-loop working state (set up by _kernel_wand)
+        self.idf = 0.0
+        self.ptr = 0
+        self.cur = -1
+        self.blk_ubs: dict | None = None
 
 
 def _decode_terms(
@@ -186,6 +192,13 @@ def _block_ub(t: _TermCtx, blk: int, scorer: str, n_docs: int, avgdl: float) -> 
     return float(_tfidf_contrib(np.array([mx]), t.cum_tf, t.qtf)[0])
 
 
+def _cur_doc(t: _TermCtx) -> int:
+    return t.cur
+
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
 def _kernel_wand(terms, scorer, n_docs, avgdl, k):
     """Document-at-a-time block-max WAND (Broder et al. 2003; Ding & Suel
     2011 block-max variant). Exact top-k for OR semantics.
@@ -195,54 +208,80 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
     does too (the block-max check) — otherwise we jump past the smallest
     block boundary. Survivor docs are rescored in ascending-term order for
     bit-stable floats.
+
+    Hot-loop notes (measured on BENCH/profile_wand.py): per-term idf is
+    hoisted (one np.log per term — the same ufunc the array path applies, so
+    pivot scores stay bit-identical to _bm25_contrib), block upper bounds
+    are memoized per (term, block), pointers and current docs live in slots
+    (no per-resort dict lookups), and ndarray.searchsorted is called as a
+    method (the np.searchsorted dispatcher was ~30% of kernel time).
     """
+    bm25 = scorer == "bm25"
     for t in terms:
         t.ub = _term_upper_bound(t, scorer, n_docs, avgdl)
-    ptrs = {t.term: 0 for t in terms}
+        t.idf = (
+            float(np.log(1.0 + (n_docs - t.df + 0.5) / (t.df + 0.5))) if bm25 else 0.0
+        )
+        t.ptr = 0
+        t.cur = int(t.ids[0]) if len(t.ids) else -1
+        t.blk_ubs = {}
     heap: list[tuple[float, int]] = []  # (score, doc) min-heap of size k
     theta = -np.inf
     alive = [t for t in terms if len(t.ids)]
     evaluated: list[int] = []
+    k1p1 = K1 + 1.0
+    one_minus_b = 1.0 - B
     while alive:
-        alive.sort(key=lambda t: t.ids[ptrs[t.term]])
+        alive.sort(key=_cur_doc)
         # find pivot: smallest doc where cumulative UB ≥ θ
         acc_ub = 0.0
         pivot_i = -1
+        heap_open = len(heap) < k
         for i, t in enumerate(alive):
             acc_ub += t.ub
-            if acc_ub >= theta or len(heap) < k:
+            if acc_ub >= theta or heap_open:
                 pivot_i = i
                 break
         if pivot_i < 0:
             break
-        pivot_doc = int(alive[pivot_i].ids[ptrs[alive[pivot_i].term]])
-        first_doc = int(alive[0].ids[ptrs[alive[0].term]])
-        if first_doc == pivot_doc:
+        pivot_doc = alive[pivot_i].cur
+        if alive[0].cur == pivot_doc:
             # block-max check: tighter bound from the current blocks
             blk_ub = 0.0
-            min_block_end = np.iinfo(np.int64).max
+            min_block_end = _I64_MAX
             for t in alive[: pivot_i + 1]:
-                p = ptrs[t.term]
-                if t.ids[p] > pivot_doc:
+                if t.cur > pivot_doc:
                     continue
-                blk = int(np.searchsorted(t.block_last, pivot_doc))
-                blk = min(blk, len(t.block_last) - 1)
-                blk_ub += _block_ub(t, blk, scorer, n_docs, avgdl)
-                min_block_end = min(min_block_end, int(t.block_last[blk]))
-            if blk_ub >= theta or len(heap) < k:
+                blk = int(t.block_last.searchsorted(pivot_doc))
+                last = len(t.block_last) - 1
+                if blk > last:
+                    blk = last
+                ub = t.blk_ubs.get(blk)
+                if ub is None:
+                    ub = _block_ub(t, blk, scorer, n_docs, avgdl)
+                    t.blk_ubs[blk] = ub
+                blk_ub += ub
+                be = int(t.block_last[blk])
+                if be < min_block_end:
+                    min_block_end = be
+            if blk_ub >= theta or heap_open:
                 evaluated.append(pivot_doc)
                 score = 0.0
                 for t in terms:  # ascending term order — deterministic sum
-                    p = np.searchsorted(t.ids, pivot_doc)
-                    if p < len(t.ids) and t.ids[p] == pivot_doc:
-                        tf = np.array([float(t.tfs[p])])
-                        if scorer == "bm25":
-                            score += float(
-                                _bm25_contrib(tf, np.array([float(t.dls[p])]), t.df,
-                                              n_docs, avgdl, t.qtf)[0])
+                    ids = t.ids
+                    p = ids.searchsorted(pivot_doc)
+                    if p < len(ids) and ids[p] == pivot_doc:
+                        tf = float(t.tfs[p])
+                        if bm25:
+                            # literal _bm25_contrib op order on scalars
+                            # (IEEE +,*,/ are bit-equal scalar vs array)
+                            dl = float(t.dls[p])
+                            score += t.qtf * t.idf * (
+                                tf * k1p1 / (tf + K1 * (one_minus_b + B * dl / avgdl))
+                            )
                         else:
-                            score += float(_tfidf_contrib(tf, t.cum_tf, t.qtf)[0])
-                if len(heap) < k:
+                            score += (t.qtf * tf) / t.cum_tf
+                if heap_open:
                     heapq.heappush(heap, (score, pivot_doc))
                     if len(heap) == k:
                         theta = heap[0][0]
@@ -252,23 +291,29 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
                         theta = heap[0][0]
                 # advance all pointers at pivot_doc
                 for t in alive:
-                    p = ptrs[t.term]
-                    if t.ids[p] == pivot_doc:
-                        ptrs[t.term] = p + 1
+                    if t.cur == pivot_doc:
+                        p = t.ptr + 1
+                        t.ptr = p
+                        if p < len(t.ids):
+                            t.cur = int(t.ids[p])
             else:
                 # skip whole blocks: jump past the smallest current block end
                 target = min(min_block_end, pivot_doc) + 1
                 for t in alive[: pivot_i + 1]:
-                    p = ptrs[t.term]
-                    if t.ids[p] < target:
-                        ptrs[t.term] = int(np.searchsorted(t.ids, target))
+                    if t.cur < target:
+                        p = int(t.ids.searchsorted(target))
+                        t.ptr = p
+                        if p < len(t.ids):
+                            t.cur = int(t.ids[p])
         else:
             # advance the leading lists to the pivot
             for t in alive[:pivot_i]:
-                p = ptrs[t.term]
-                if t.ids[p] < pivot_doc:
-                    ptrs[t.term] = int(np.searchsorted(t.ids, pivot_doc))
-        alive = [t for t in alive if ptrs[t.term] < len(t.ids)]
+                if t.cur < pivot_doc:
+                    p = int(t.ids.searchsorted(pivot_doc))
+                    t.ptr = p
+                    if p < len(t.ids):
+                        t.cur = int(t.ids[p])
+        alive = [t for t in alive if t.ptr < len(t.ids)]
     if not evaluated:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.array(sorted({d for _, d in heap}), dtype=np.int64)
@@ -356,10 +401,11 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
             docs, scores = _kernel_taat(pos_terms, sc, n_docs, avgdl)
         else:
             # auto: on this numpy substrate the dense-accumulator TAAT scan
-            # beats the Python pivot loop by ~40× until posting volume is
+            # beats the Python pivot loop (26× at 450k postings, narrowing
+            # to ~3× at 1.8M after the r5 pivot micro-opts) until volume is
             # enormous (measured, BENCH/wand_profile_{1M,4M}.json: 1M docs /
-            # 450k postings → TAAT 0.024 s vs WAND 1.0 s; 4M/1.8M → 0.26 s
-            # vs 3.8 s; identical top-k). WAND's skipping only pays once a
+            # 450k postings → TAAT 0.023 s vs WAND 0.61 s; 4M/1.8M → 0.77 s
+            # vs 2.1 s; identical top-k). WAND's skipping only pays once a
             # partition's decoded postings exceed the cutoff — per-partition
             # state stays O(capacity) either way.
             total_postings = sum(len(t.ids) for t in pos_terms)
