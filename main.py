@@ -34,7 +34,15 @@ def cmd_build(args) -> None:
     src = read_source(spark, args.input, args.format)
     natural_key = args.natural_key.split(",") if args.natural_key else None
     stopwords = None
-    if args.stopwords == "english":
+    stemmer = None
+    if getattr(args, "locale", None):
+        if args.stopwords:
+            raise SystemExit("--locale and --stopwords are mutually exclusive")
+        from miru_spark.analyzers import find_analyzer
+
+        spec = find_analyzer(args.locale, use_stop_words=not args.no_stop_words)
+        stopwords, stemmer = spec.stopwords, spec.stemmer
+    elif args.stopwords == "english":
         from miru_spark.tokenize import ENGLISH_STOPWORDS
 
         stopwords = ENGLISH_STOPWORDS
@@ -51,6 +59,7 @@ def cmd_build(args) -> None:
             args.numeric_aux_fields.split(",") if args.numeric_aux_fields else None
         ),
         stopwords=stopwords,
+        stemmer=stemmer,
     )
     print(json.dumps(rep.__dict__))
 
@@ -144,7 +153,7 @@ def cmd_bench(_args) -> None:
     print(json.dumps(bench.run_suite()))
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="miru_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -168,6 +177,20 @@ def main() -> None:
         default=None,
         choices=["english"],
         help="analyzer stop set applied at ingest AND query (TermAnalyzers.useStopWords)",
+    )
+    b.add_argument(
+        "--locale",
+        default=None,
+        help="select the analyzer by locale (TermAnalyzers.findAnalyzer: "
+        "'en'/'en_*' -> stopwords+Porter; unknown -> standard). Mutually "
+        "exclusive with --stopwords; combine with --no-stop-words for the "
+        "non-stopword analyzer variant",
+    )
+    b.add_argument(
+        "--no-stop-words",
+        action="store_true",
+        help="with --locale: pick the analyzer's empty-stop-set variant "
+        "(still stems), the reference's useStopWords=false map",
     )
     b.set_defaults(fn=cmd_build)
 
@@ -218,8 +241,11 @@ def main() -> None:
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)
+    return p
 
-    args = p.parse_args()
+
+def main() -> None:
+    args = build_parser().parse_args()
     args.fn(args)
 
 

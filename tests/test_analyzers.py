@@ -93,3 +93,52 @@ def test_registered_locale_wins_over_fallback():
         from miru_spark import analyzers as A
 
         A._REGISTRY.pop("pt_br", None)
+
+
+def test_cli_locale_flag_wires_find_analyzer(monkeypatch):
+    # main.py build --locale must resolve through find_analyzer and hand the
+    # spec's dialects to build_persistent (the CLI is the user surface the
+    # reference exposes via its query/ingest endpoints)
+    import types
+
+    import main
+
+    captured = {}
+
+    def fake_build_persistent(src, index_dir, **kw):
+        captured.update(kw)
+        return types.SimpleNamespace()
+
+    monkeypatch.setattr("miru_spark.index_store.build_persistent", fake_build_persistent)
+    monkeypatch.setattr("miru_spark.sources.read_source", lambda spark, i, f: None)
+    monkeypatch.setattr(main, "_spark", lambda app: None)
+
+    args = main.build_parser().parse_args(
+        ["build", "--input", "x", "--index", "y", "--locale", "en_US"]
+    )
+    args.fn(args)
+    assert captured["stopwords"] is ENGLISH_STOPWORDS
+    assert captured["stemmer"] == "porter"
+
+    captured.clear()
+    args = main.build_parser().parse_args(
+        ["build", "--input", "x", "--index", "y", "--locale", "en", "--no-stop-words"]
+    )
+    args.fn(args)
+    assert captured["stopwords"] is None and captured["stemmer"] == "porter"
+
+    captured.clear()
+    args = main.build_parser().parse_args(
+        ["build", "--input", "x", "--index", "y", "--locale", "zz"]
+    )
+    args.fn(args)
+    assert captured["stopwords"] is ENGLISH_STOPWORDS and captured["stemmer"] is None
+
+    import pytest as _pytest
+
+    args = main.build_parser().parse_args(
+        ["build", "--input", "x", "--index", "y", "--locale", "en",
+         "--stopwords", "english"]
+    )
+    with _pytest.raises(SystemExit):
+        args.fn(args)
