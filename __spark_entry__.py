@@ -114,7 +114,9 @@ def _ivf_dir(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         tag = os.path.basename(sf_dir.rstrip("/"))
-        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}")
+        # pid-scoped: a fixed shared path races concurrent gate/bench
+        # processes (overwrite-while-read on the lazily re-read parquet)
+        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}_{os.getpid()}")
         similarity.build_ivf_index(
             _emb(spark, sf_dir), "vec_id", "embedding", d, n_centroids=16
         )
@@ -177,7 +179,11 @@ def _sip_dedup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            # fail LOUDLY: falling through would collect (and cache!) a
+            # partially-populated memory table as the gate answer
+            q.stop()
+            raise RuntimeError("streaming sip-dedup did not finish within 600s")
         rows = [(int(r["user_id"]), int(r["ver"])) for r in spark.table(qname).collect()]
         shutil.rmtree(work, ignore_errors=True)
         _INDEX_CACHE[key] = spark.createDataFrame(

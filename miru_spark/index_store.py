@@ -340,6 +340,19 @@ def upsert_docs(
     repair_base = int(max_part) + 1
     wave_id = max((int(k) for k in mdata["waves"]), default=-1) + 1
 
+    # validate EVERY precondition before the first destructive write — a
+    # raise after the removed/ append or the postings merge would leave the
+    # index half-repaired (old instances tombstoned, stats/manifest stale)
+    if old_inst and not fp.get("forward"):
+        raise ValueError(
+            "upsert on a forward_index=False build cannot correct term "
+            "stats without a corpus rescan — rebuild with forward_index=True"
+        )
+    if aux_fields or num_aux:
+        missing = [c for c in aux_fields + num_aux if c not in rep.columns]
+        if missing:
+            raise ValueError(f"upsert docs missing indexed aux fields: {missing}")
+
     if old_inst:
         spark.createDataFrame(
             [(r["part"], r["doc_id"], r["doc_key"]) for r in old_inst],
@@ -375,9 +388,7 @@ def upsert_docs(
             .parquet(f"{index_dir}/forward/wave={wave_id}")
         )
     if aux_fields or num_aux:
-        missing = [c for c in aux_fields + num_aux if c not in rep.columns]
-        if missing:
-            raise ValueError(f"upsert docs missing indexed aux fields: {missing}")
+        # columns validated up front, before the first write
         B.aux_postings(rep, aux_fields, num_aux).coalesce(1).write.mode("append").parquet(
             f"{index_dir}/aux"
         )
@@ -420,11 +431,8 @@ def upsert_docs(
                 )
                 .filter(F.col("df") > 0)
             )
-        else:
-            raise ValueError(
-                "upsert on a forward_index=False build cannot correct term "
-                "stats without a corpus rescan — rebuild with forward_index=True"
-            )
+        else:  # pragma: no cover — rejected up front, before any write
+            raise AssertionError("forward_index precondition validated earlier")
     stats.coalesce(4).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
     # live corpus stats (all instances minus tombstones)

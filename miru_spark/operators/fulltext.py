@@ -619,14 +619,28 @@ def gather(index: IndexHandle, winners: DataFrame, gather_cols: list[str]) -> Da
     """Join winners back to stored fields — after LIMIT, so materialization
     is lazy like the reference's Promise gather (FullText.java:253-280).
 
-    The ≤k winners side carries an explicit broadcast hint (docs is the
-    100 TB table; winners must always be the build side — right-outer with
-    the broadcast left preserves every winner even if a doc row vanished)."""
-    return (
-        index.docs.join(
-            F.broadcast(winners), index.docs["doc_key"] == winners["doc"], "right"
-        ).select("doc", "score", *gather_cols)
+    The ≤k winners relation is the broadcast BUILD side of an INNER join
+    against the docs table. It must be inner: Spark cannot broadcast the
+    preserved side of an outer join, so a right-outer with
+    ``broadcast(winners)`` silently ignores the hint and plans a
+    SortMergeJoin that shuffles the whole (100 TB) docs table. Winners
+    whose doc row vanished from the source are re-attached with null
+    fields via a left-anti against the matched keys — that second docs
+    scan is pruned to the single doc_key column, and every join in the
+    plan broadcasts a ≤k-row side (no shuffle anywhere)."""
+    docs = index.docs
+    matched = docs.join(
+        F.broadcast(winners), docs["doc_key"] == winners["doc"], "inner"
+    ).select("doc", "score", *gather_cols)
+    matched_keys = docs.select(F.col("doc_key").alias("doc")).join(
+        F.broadcast(winners.select("doc")), "doc", "left_semi"
     )
+    missing = winners.join(F.broadcast(matched_keys), "doc", "left_anti").select(
+        "doc",
+        "score",
+        *[F.lit(None).cast(docs.schema[c].dataType).alias(c) for c in gather_cols],
+    )
+    return matched.unionByName(missing)
 
 
 def index_first_latest(index: IndexHandle) -> DataFrame:

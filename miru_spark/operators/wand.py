@@ -98,7 +98,17 @@ def _decode_terms(
         if row.term not in qinfo:
             continue
         qtf, clause = qinfo[row.term]
-        df_g, cum_g = stats[row.term]
+        st = stats.get(row.term)
+        if st is None:
+            # a term can have packed rows but no stats row — version repair's
+            # stats correction keeps df>0 terms only, while its tombstoned
+            # posting rows survive in postings/ until the next merge. The
+            # DataFrame path drops such terms at the stats join; do the same
+            # here instead of KeyError-ing the whole query. (AND semantics
+            # stay correct: the term's clause goes missing and _kernel_and
+            # returns empty, matching matched==len(positive).)
+            continue
+        df_g, cum_g = st
         ids = codec.delta_unpack(bytes(row.ids))
         tfs = codec.tf_unpack(bytes(row.tfs))
         dls = codec.tf_unpack(bytes(row.dls))
@@ -359,8 +369,14 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     stats_rows = index.stats.filter(F.col("term").isin(terms + neg_terms)).collect()
     stats = {r["term"]: (float(r["df"]), float(r["cum_tf"])) for r in stats_rows}
     n_docs, avgdl = index.corpus.n_docs, index.corpus.avgdl
-    n_clauses = len(spec.positive)
     required = sorted({c for _, _, c in expanded})
+    if spec.op == "and" and len(required) < len(spec.positive):
+        # a positive clause (e.g. a prefix matching no indexed term) expanded
+        # to zero terms: the conjunction is unsatisfiable. score_candidates
+        # gets this via its matched == len(positive) filter; return the same
+        # empty result instead of silently dropping the clause from
+        # `required` and scoring the remaining terms.
+        return spark.createDataFrame([], "doc long, score double")
     op, sc = spec.op, spec.scorer
     kern = kernel
     kk = spec.k
@@ -416,16 +432,27 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
         if not len(docs):
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
-        # doc_id → doc_key from the decoded lists themselves (every hit doc
-        # appears in ≥1 query-term list, each row carrying its key)
-        all_ids = np.concatenate([t.ids for t in pos_terms])
-        all_keys = np.concatenate([t.keys for t in pos_terms])
-        uniq, first = np.unique(all_ids, return_index=True)
-        key_of = all_keys[first]
         # per-partition partial top-k (the reference's per-partition heap)
         order = np.lexsort((-docs, -np.round(scores, 6)))[:kk]
         winners = docs[order]
-        keys_out = key_of[np.searchsorted(uniq, winners)]
+        # winner doc_id → doc_key by binary search over each term's (already
+        # sorted) decoded list — O(terms · k · log P). Every winner came out
+        # of a kernel, so it appears in ≥1 query-term list, each posting row
+        # carrying its key. (A concat+unique of ALL partition postings here
+        # cost O(P log P) and a 2× copy of the decoded lists per query.)
+        keys_out = np.zeros(len(winners), dtype=np.int64)
+        found = np.zeros(len(winners), dtype=bool)
+        for t in pos_terms:
+            if found.all():
+                break
+            if not len(t.ids):
+                continue
+            pos = t.ids.searchsorted(winners)
+            pos_c = np.minimum(pos, len(t.ids) - 1)
+            hit = (~found) & (t.ids[pos_c] == winners)
+            if hit.any():
+                keys_out[hit] = t.keys[pos_c[hit]]
+                found[hit] = True
         return pd.DataFrame({"doc": keys_out,
                              "score": np.round(scores[order], 6)})
 

@@ -229,3 +229,49 @@ def test_upsert_repairs_doc_and_matches_fresh_build(spark, documents, tmp_path_f
     assert rep2.waves_run == 0
     still = fulltext.top_k(load_index(spark, idx_dir), "zzzrepair", k=5).collect()
     assert [int(r["doc"]) for r in still] == [victim]
+
+
+def test_wand_survives_terms_tombstoned_out_of_stats(spark, documents, tmp_path_factory):
+    """After version repair, a term can keep packed posting rows (tombstoned,
+    pre-merge) while its stats row is gone (df==0 filter in the upsert stats
+    correction). The wand kernel must drop such terms like the DataFrame
+    path's stats join does — not KeyError the whole query."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index_store import upsert_docs
+    from miru_spark.operators import wand as wand_ops
+
+    base = tmp_path_factory.mktemp("deadterm")
+    idx_dir = str(base / "idx")
+    kw = dict(
+        text_col="text", dense_id_col="doc_id", capacity=128,
+        hot_df_threshold=64, salt_buckets=4, wave_size=4, merge_partitions=4,
+    )
+    build_persistent(documents, idx_dir, **kw)
+    victim = int(
+        fulltext.top_k(load_index(spark, idx_dir), "spark", k=1).collect()[0]["doc"]
+    )
+    # repair 1: give the victim a globally-unique term
+    one = documents.filter(F.col("doc_id") == victim).withColumn(
+        "text", F.lit("zzzunique spark")
+    )
+    upsert_docs(spark, idx_dir, one)
+    # repair 2: replace it again — 'zzzunique' now has df == 0 (stats row
+    # dropped) but its tombstoned packed rows still sit in postings/
+    two = documents.filter(F.col("doc_id") == victim).withColumn(
+        "text", F.lit("freshagain spark")
+    )
+    upsert_docs(spark, idx_dir, two)
+    idx = load_index(spark, idx_dir)
+    assert idx.stats.filter(F.col("term") == "zzzunique").count() == 0
+    assert idx.packed.filter(F.col("term") == "zzzunique").count() > 0
+
+    # OR with the dead term: no crash, identical to the DataFrame path
+    a = [(int(r["doc"]), r["score"]) for r in
+         wand_ops.wand_topk(idx, "zzzunique OR spark", k=10, kernel="wand").collect()]
+    b = [(int(r["doc"]), r["score"]) for r in
+         fulltext.top_k(idx, "zzzunique OR spark", k=10).collect()]
+    assert a == b and len(a) > 0
+    # the dead term alone: empty on both paths
+    assert wand_ops.wand_topk(idx, "zzzunique", k=10).count() == 0
+    assert fulltext.top_k(idx, "zzzunique", k=10).count() == 0

@@ -78,17 +78,51 @@ def test_scorer_broadcasts_small_sides(doc_index):
 
 
 def test_gather_broadcasts_winners_side(doc_index):
-    """The post-LIMIT winners→docs gather must be a BroadcastHashJoin with
-    the ≤k winners as build side — on a 100 TB docs table a shuffle join
-    here would move the whole table to fetch k rows."""
+    """The post-LIMIT winners→docs gather must broadcast the ≤k winners as
+    the BUILD side of every join — on a 100 TB docs table a shuffle join
+    here would move the whole table to fetch k rows. Auto-broadcast is
+    disabled for the assertion so a tiny fixture docs side can't mask a
+    SortMergeJoin (the old right-outer hint was silently ignored: Spark
+    cannot broadcast the preserved side of an outer join)."""
     from miru_spark.operators import fulltext
 
+    spark = doc_index.docs.sparkSession
     winners = fulltext.top_k(doc_index, "spark AND join", k=20)
     gathered = fulltext.gather(doc_index, winners, ["lang", "source"])
-    plan = gathered._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
-    # every winner survives even without a matching doc row (right outer)
-    assert gathered.count() == winners.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = gathered._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # every winner survives even without a matching doc row
+        assert gathered.count() == winners.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_gather_preserves_winner_whose_doc_row_vanished(doc_index):
+    # simulate a source row lost after indexing: a winner doc_key absent
+    # from docs must still come back, with null gather fields
+    from pyspark.sql import functions as F
+
+    from miru_spark.operators import fulltext
+
+    winners = fulltext.top_k(doc_index, "spark AND join", k=5)
+    top = winners.collect()
+    lost_key = top[0]["doc"]
+    pruned = doc_index.docs.filter(F.col("doc_key") != int(lost_key))
+    import copy
+
+    idx2 = copy.copy(doc_index)
+    idx2.docs = pruned
+    gathered = fulltext.gather(idx2, winners, ["lang", "source"]).collect()
+    assert len(gathered) == len(top)
+    by_doc = {r["doc"]: r for r in gathered}
+    assert by_doc[lost_key]["lang"] is None and by_doc[lost_key]["source"] is None
+    others = [r for r in gathered if r["doc"] != lost_key]
+    assert all(r["lang"] is not None for r in others)
 
 
 def test_sort_strategy_byte_identical_to_hash_agg(spark, documents):

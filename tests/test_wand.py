@@ -41,3 +41,15 @@ def test_wand_prunes(doc_index):
     spec = parse_query("spark OR merge", k=7)
     got = wand.wand_topk(doc_index, spec, kernel="wand").toPandas()
     assert len(got) == 7
+
+
+def test_and_with_unmatchable_prefix_clause_is_empty(doc_index):
+    # 'spark AND qqqzz*' where no term starts with qqqzz: the conjunction is
+    # unsatisfiable. The kernel path must agree with score_candidates'
+    # matched == len(positive) semantics instead of silently dropping the
+    # empty clause and returning all 'spark' docs.
+    from miru_spark.operators import fulltext as ft
+    from miru_spark.operators import wand as wand_ops
+
+    assert wand_ops.wand_topk(doc_index, "spark AND qqqzz*", k=10).count() == 0
+    assert ft.top_k(doc_index, "spark AND qqqzz*", k=10).count() == 0
