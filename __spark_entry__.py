@@ -111,15 +111,26 @@ def _ivf_dir(spark: SparkSession, sf_dir: str) -> str:
     count; probes are partition filters on the on-disk inverted file."""
     key = f"{id(spark)}:{sf_dir}:ivf"
     if key not in _INDEX_CACHE:
+        import shutil
         import tempfile
 
         tag = os.path.basename(sf_dir.rstrip("/"))
-        # pid-scoped: a fixed shared path races concurrent gate/bench
-        # processes (overwrite-while-read on the lazily re-read parquet)
-        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}_{os.getpid()}")
-        similarity.build_ivf_index(
-            _emb(spark, sf_dir), "vec_id", "embedding", d, n_centroids=16
-        )
+        # content-keyed shared path (fixtures are deterministic per sf dir):
+        # cross-run reuse instead of leaking one index per pid. Concurrent
+        # builders race safely — each builds into a pid-scoped tmp dir and
+        # atomically renames it in; the loser keeps the winner's complete
+        # dir (a finished dir is never overwritten, so no read-while-write).
+        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}_c16v1")
+        if not os.path.isdir(d):
+            tmp = f"{d}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            similarity.build_ivf_index(
+                _emb(spark, sf_dir), "vec_id", "embedding", tmp, n_centroids=16
+            )
+            try:
+                os.rename(tmp, d)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
 
@@ -134,35 +145,42 @@ def _sip_dedup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a full WAL replay). The per-key state must suppress every batch-2 row
     whose version doesn't exceed the key's batch-1 maximum — exactly
     MiruSipTracker's seen-set semantics, SQL-expressible for the oracle.
-    (Fixture prep is driver-side pandas over the 10k-row events table; the
-    operator under test is the distributed stateful stream itself.)"""
+    (Each WAL batch is cut with a filtered DISTRIBUTED write — coalesce(1)
+    routes the rows through one executor task so each batch is a single
+    file, but nothing is ever materialized on the driver.)"""
     key = f"{id(spark)}:{sf_dir}:sipdedup"
     if key not in _INDEX_CACHE:
         import shutil
         import tempfile
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
         from miru_spark.streaming.windowed import streaming_sip_dedup
 
         work = tempfile.mkdtemp(prefix="miru_sip_")
         src = os.path.join(work, "wal")
         os.makedirs(src)
-        ev = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select(
-                F.col("user_id").cast("long"),
-                (F.col("event_id") / 10).cast("long").alias("ver"),
-                F.col("event_id").cast("long"),
-            )
-            .toPandas()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("user_id").cast("long"),
+            (F.col("event_id") / 10).cast("long").alias("ver"),
+            F.col("event_id").cast("long"),
         )
-        b1 = ev[ev["event_id"] < 5000][["user_id", "ver"]]
-        b2 = ev[["user_id", "ver"]]
-        for i, (name, pdf) in enumerate([("0_batch1", b1), ("1_batch2", b2)]):
+        batches = [
+            ("0_batch1", F.col("event_id") < 5000),
+            ("1_batch2", F.lit(True)),
+        ]
+        for i, (name, flt) in enumerate(batches):
+            stage = os.path.join(work, f"stage_{name}")
+            (
+                ev.filter(flt)
+                .select("user_id", "ver")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+            assert len(part) == 1, part  # coalesce(1) ⇒ exactly one data file
             p = os.path.join(src, f"{name}.parquet")
-            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+            os.rename(os.path.join(stage, part[0]), p)
+            shutil.rmtree(stage, ignore_errors=True)
             os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
         stream = (
             spark.readStream.schema("user_id long, ver long")

@@ -382,6 +382,16 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # pointer jumping covers diameter ~2^max_iter in max_iter rounds —
+        # exhausting the budget while labels still move means a bug (or an
+        # adversarial graph), and silently returning split components would
+        # let duplicate docs survive dedup with no signal. Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — with pointer jumping this "
+            f"indicates a defect, not a large graph"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("canonical"))
 
 

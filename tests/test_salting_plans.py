@@ -74,7 +74,7 @@ def test_scorer_broadcasts_small_sides(doc_index):
     scored = score_candidates(doc_index, parse_query("spark AND join", k=10))
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan.split("doc_key")[0] or True  # stats+q broadcast
+    assert "SortMergeJoin" not in plan, plan  # the query-term relation broadcasts
 
 
 def test_gather_broadcasts_winners_side(doc_index):
