@@ -842,6 +842,11 @@ class IndexHandle:
     # stemming analyzer analog (miru_spark.stem); applied identically at
     # ingest and query parse
     stemmer: str | None = None
+    # per-part (min_doc_key, max_doc_key) from the build manifest (persisted
+    # indexes only) — the reference's per-partition time-intersect short
+    # circuit (FullTextCustomQuestion.java:62-67): a timeRange query skips
+    # parts whose key range can't intersect BEFORE the postings scan.
+    part_ranges: dict | None = None
     # every relation this build cached/persisted — freed by unpersist() so
     # repeated builds in one session don't accumulate BlockManager entries
     cached: list = dataclass_field(default_factory=list)

@@ -43,10 +43,40 @@ K1 = 1.2
 B = 0.75
 
 
-def postings_for_terms(index: IndexHandle, terms: list[str]) -> DataFrame:
+def parts_for_time_range(index: IndexHandle, time_range) -> list[int] | None:
+    """Doc-partitions whose doc_key range intersects [lo, hi] — the
+    reference's per-partition time-intersect short circuit
+    (FullTextCustomQuestion.java:62-67): non-intersecting partitions are
+    skipped BEFORE the postings scan/decode. Ranges come from the build
+    manifest's observed per-part key min/max (repair instances keep their
+    original doc_key in a fresh part, so structure can't be assumed).
+    Returns None when no pruning info applies (no range, in-memory index)."""
+    if time_range is None or not index.part_ranges:
+        return None
+    lo, hi = int(time_range[0]), int(time_range[1])
+    return sorted(
+        p for p, (mn, mx) in index.part_ranges.items() if mx >= lo and mn <= hi
+    )
+
+
+def _part_pruned(df: DataFrame, parts: list[int] | None) -> DataFrame:
+    if parts is None:
+        return df
+    if not parts:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("part").isin(parts))
+
+
+def postings_for_terms(
+    index: IndexHandle, terms: list[str], parts: list[int] | None = None
+) -> DataFrame:
     """(part, term, doc_id, tf, dl, doc_key) for exactly the given terms,
     with the term predicate reaching the parquet scan. Rows are
     self-contained for scoring (dl + doc_key packed per posting).
+    ``parts`` (from parts_for_time_range) additionally prunes the scan to
+    the partitions a timeRange can intersect — pruning a posting row is
+    safe exactly when its whole PART is out of range, because a doc lives
+    in one part and an out-of-range part contains no in-range docs.
 
     On an in-memory build ``flat`` is a cached relation — filtering it is
     cheap. On a LOADED index ``flat`` is unpack_postings(packed), a Python
@@ -57,8 +87,10 @@ def postings_for_terms(index: IndexHandle, terms: list[str]) -> DataFrame:
     from miru_spark.operators.build import unpack_postings
 
     if index.lazy:
-        return unpack_postings(index.packed.filter(F.col("term").isin(terms)))
-    return index.flat.filter(F.col("term").isin(terms))
+        return unpack_postings(
+            _part_pruned(index.packed.filter(F.col("term").isin(terms)), parts)
+        )
+    return _part_pruned(index.flat.filter(F.col("term").isin(terms)), parts)
 
 
 def expand_clauses(index: IndexHandle, spec: QuerySpec) -> list[tuple[str, int, int]]:
@@ -164,8 +196,9 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     # the posting rows are SELF-CONTAINED for scoring (tf + dl + doc_key
     # packed per posting — build.PACKED_SCHEMA): no join against the
     # O(corpus) doclens relation; the only big-table touch stays the
-    # term-pruned postings scan
-    cand = postings_for_terms(index, terms).join(F.broadcast(q), "term")
+    # term-pruned (and, under a timeRange, part-pruned) postings scan
+    pparts = parts_for_time_range(index, spec.time_range)
+    cand = postings_for_terms(index, terms, pparts).join(F.broadcast(q), "term")
     contrib = cand.withColumn(
         "contrib", _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl)
     )
@@ -181,7 +214,9 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         scored = scored.filter(F.col("matched") == len(spec.positive))
     neg_terms = expand_negatives(index, spec)
     if neg_terms:
-        neg_docs = postings_for_terms(index, neg_terms).select("part", "doc_id")
+        # pruning the NEGATIVE scan by the same part set is safe: an
+        # in-range candidate's negative posting lives in the same part
+        neg_docs = postings_for_terms(index, neg_terms, pparts).select("part", "doc_id")
         scored = scored.join(neg_docs, ["part", "doc_id"], "left_anti")
     return scored
 
@@ -488,11 +523,13 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
 
     # every scan row carries its own doc_key (+ dl on content rows) — no
     # doclens join; aux rows never score, so their dl is null and their
-    # contrib drops out of the fold below
+    # contrib drops out of the fold below. A timeRange prunes both scan
+    # branches to intersecting parts before any decode.
+    pparts = parts_for_time_range(index, spec.time_range)
     srcs = []
     if content_terms:
         srcs.append(
-            postings_for_terms(index, sorted(content_terms)).select(
+            postings_for_terms(index, sorted(content_terms), pparts).select(
                 "part", "doc_id", "doc_key", "term", "tf", "dl"
             )
         )
@@ -501,7 +538,7 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
         for p in aux_preds[1:]:
             apred = apred | p
         srcs.append(
-            index.aux.filter(apred).select(
+            _part_pruned(index.aux.filter(apred), pparts).select(
                 "part", "doc_id", "doc_key", "term",
                 F.lit(1).alias("tf"), F.lit(None).cast("int").alias("dl"),
             )

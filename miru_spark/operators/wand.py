@@ -39,11 +39,23 @@ from pyspark.sql import functions as F
 from miru_spark import codec
 from miru_spark.filters import QuerySpec, parse_query
 from miru_spark.operators.build import IndexHandle
-from miru_spark.operators.fulltext import K1, B, expand_clauses, expand_negatives
+from miru_spark.operators.fulltext import (
+    K1,
+    B,
+    expand_clauses,
+    expand_negatives,
+    parts_for_time_range,
+)
 
 # kernel='auto' switches TAAT → WAND above this many decoded postings per
 # partition (see the measured rationale at the auto branch in wand_topk)
 _TAAT_CUTOFF = int(os.environ.get("SPARK_GRAFT_TAAT_CUTOFF", "8000000"))
+# the cross-partition θ-seed pre-pass (an extra small job) only pays once a
+# query's total posting volume is large — below this it's pure overhead
+_SEED_MIN_POSTINGS = int(os.environ.get("SPARK_GRAFT_WAND_SEED_MIN", "1000000"))
+# θ₀ the last wand_topk call seeded with (−inf = pre-pass skipped);
+# driver-side, for tests and the BENCH profiling script only
+_LAST_THETA0 = -np.inf
 
 
 def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: int, avgdl: float,
@@ -209,7 +221,7 @@ def _cur_doc(t: _TermCtx) -> int:
 _I64_MAX = np.iinfo(np.int64).max
 
 
-def _kernel_wand(terms, scorer, n_docs, avgdl, k):
+def _kernel_wand(terms, scorer, n_docs, avgdl, k, theta0=-np.inf):
     """Document-at-a-time block-max WAND (Broder et al. 2003; Ding & Suel
     2011 block-max variant). Exact top-k for OR semantics.
 
@@ -218,6 +230,17 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
     does too (the block-max check) — otherwise we jump past the smallest
     block boundary. Survivor docs are rescored in ascending-term order for
     bit-stable floats.
+
+    ``theta0`` is the cross-partition admission seed — the reference's
+    ``FullTextReport.lowestScore`` carried between sequentially-solved
+    partitions (FullTextCustomQuestion.createReport:128-144,
+    FullText.java:129-158). Spark partitions run concurrently, so the
+    caller derives θ₀ from ONE partition's top-k in a cheap pre-pass and
+    every other partition starts with a live threshold instead of −∞
+    (pruning during heap fill, the phase block-max WAND can't prune at
+    all otherwise). Exactness: θ₀ must be a strict lower bound on the
+    global kth-best score — every doc pruned by UB < θ₀ then scores
+    strictly below k other docs and can't appear in the global top-k.
 
     Hot-loop notes (measured on BENCH/profile_wand.py): per-term idf is
     hoisted (one np.log per term — the same ufunc the array path applies, so
@@ -236,7 +259,10 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
         t.cur = int(t.ids[0]) if len(t.ids) else -1
         t.blk_ubs = {}
     heap: list[tuple[float, int]] = []  # (score, doc) min-heap of size k
-    theta = -np.inf
+    # θ = θ₀ until the heap fills, then max(θ₀, heap kth): the seed floor
+    # never relaxes. With θ₀ = −∞ this degenerates to the unseeded kernel
+    # exactly (acc_ub ≥ −∞ is always true while the heap is open).
+    theta = theta0
     alive = [t for t in terms if len(t.ids)]
     evaluated: list[int] = []
     k1p1 = K1 + 1.0
@@ -249,7 +275,7 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
         heap_open = len(heap) < k
         for i, t in enumerate(alive):
             acc_ub += t.ub
-            if acc_ub >= theta or heap_open:
+            if acc_ub >= theta:
                 pivot_i = i
                 break
         if pivot_i < 0:
@@ -274,7 +300,7 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
                 be = int(t.block_last[blk])
                 if be < min_block_end:
                     min_block_end = be
-            if blk_ub >= theta or heap_open:
+            if blk_ub >= theta:
                 evaluated.append(pivot_doc)
                 score = 0.0
                 for t in terms:  # ascending term order — deterministic sum
@@ -294,11 +320,11 @@ def _kernel_wand(terms, scorer, n_docs, avgdl, k):
                 if heap_open:
                     heapq.heappush(heap, (score, pivot_doc))
                     if len(heap) == k:
-                        theta = heap[0][0]
+                        theta = max(theta0, heap[0][0])
                 else:
                     if score > heap[0][0]:
                         heapq.heapreplace(heap, (score, pivot_doc))
-                        theta = heap[0][0]
+                        theta = max(theta0, heap[0][0])
                 # advance all pointers at pivot_doc
                 for t in alive:
                     if t.cur == pivot_doc:
@@ -381,8 +407,15 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     kern = kernel
     kk = spec.k
     time_range = spec.time_range
+    # timeRange partition pruning (loaded indexes): skip whole parts whose
+    # doc_key range can't intersect — they are neither scanned nor decoded
+    pparts = parts_for_time_range(index, time_range)
+    if pparts is not None and not pparts:
+        return spark.createDataFrame([], "doc long, score double")
 
-    def run_part(post_pdf: pd.DataFrame, removed_pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_part(
+        post_pdf: pd.DataFrame, removed_pdf: pd.DataFrame, theta0: float = -np.inf
+    ) -> pd.DataFrame:
         if post_pdf.empty:
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -412,7 +445,7 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
         if op == "and":
             docs, scores = _kernel_and(pos_terms, required, sc, n_docs, avgdl, kk)
         elif kern == "wand":
-            docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk)
+            docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk, theta0)
         elif kern == "taat" or sc != "bm25":
             docs, scores = _kernel_taat(pos_terms, sc, n_docs, avgdl)
         else:
@@ -428,7 +461,7 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
             if total_postings <= _TAAT_CUTOFF:
                 docs, scores = _kernel_taat(pos_terms, sc, n_docs, avgdl)
             else:
-                docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk)
+                docs, scores = _kernel_wand(pos_terms, sc, n_docs, avgdl, kk, theta0)
         if not len(docs):
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -457,24 +490,66 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
                              "score": np.round(scores[order], 6)})
 
     posts = index.packed.filter(F.col("term").isin(terms + neg_terms)).select(
-        "part", "term", "ids", "tfs", "dls", "keys", "block_last", "block_max_tf"
+        "part", "term", "df_part", "ids", "tfs", "dls", "keys",
+        "block_last", "block_max_tf"
     )
-    # the removal mask is the ONLY non-posting relation the kernel needs
-    # (postings are self-contained: tf/dl/doc_key per row) — the old
-    # full-doclens cogroup shuffled the whole corpus per query. With no
-    # removal index at all, skip the cogroup machinery outright: one
-    # grouped map over the term-pruned postings, nothing else in the plan.
-    if index.removed is None:
-        empty_removed = pd.DataFrame({"part": pd.Series([], dtype="int32"),
-                                      "doc_id": pd.Series([], dtype="int32")})
-        result = posts.groupBy("part").applyInPandas(
-            lambda pdf: run_part(pdf, empty_removed), "doc long, score double"
+    removed = None if index.removed is None else index.removed.select("part", "doc_id")
+    if pparts is not None:
+        posts = posts.filter(F.col("part").isin(pparts))
+        if removed is not None:
+            removed = removed.filter(F.col("part").isin(pparts))
+    empty_removed = pd.DataFrame({"part": pd.Series([], dtype="int32"),
+                                  "doc_id": pd.Series([], dtype="int32")})
+
+    def _job(rel, theta0: float) -> DataFrame:
+        # the removal mask is the ONLY non-posting relation the kernel needs
+        # (postings are self-contained: tf/dl/doc_key per row) — the old
+        # full-doclens cogroup shuffled the whole corpus per query. With no
+        # removal index at all, skip the cogroup machinery outright: one
+        # grouped map over the term-pruned postings, nothing else in the plan.
+        if removed is None:
+            return rel.groupBy("part").applyInPandas(
+                lambda pdf: run_part(pdf, empty_removed, theta0),
+                "doc long, score double",
+            )
+        return (
+            rel.groupBy("part")
+            .cogroup(removed.groupBy("part"))
+            .applyInPandas(
+                lambda left, right: run_part(left, right, theta0),
+                "doc long, score double",
+            )
         )
-        return result.orderBy(F.desc("score"), F.desc("doc")).limit(spec.k)
-    removed = index.removed.select("part", "doc_id")
-    result = (
-        posts.groupBy("part")
-        .cogroup(removed.groupBy("part"))
-        .applyInPandas(lambda left, right: run_part(left, right), "doc long, score double")
-    )
+
+    # cross-partition θ seed (FullTextReport.lowestScore carry): solve the
+    # densest partition first, use its kth ROUNDED score − 1e-6 as every
+    # other partition's admission floor. Exact: the seed partition holds k
+    # docs whose rounded scores all exceed any doc pruned under the floor
+    # (round moves a score by ≤ 5e-7), so pruned docs can't reach the
+    # global top-k. Only worth the extra small job when the query's total
+    # posting volume is large (the pre-pass is metadata-cheap: a sum over
+    # the term-pruned df_part column picks the part, then one kernel run).
+    theta0 = -np.inf
+    total_df = sum(stats[t][0] for t in terms if t in stats)
+    if kern in ("wand", "auto") and op == "or" and total_df >= _SEED_MIN_POSTINGS:
+        best = (
+            posts.groupBy("part")
+            .agg(F.sum("df_part").alias("n"))
+            .orderBy(F.desc("n"), F.asc("part"))
+            .limit(1)
+            .collect()
+        )
+        if best:
+            seed_rows = (
+                _job(posts.filter(F.col("part") == int(best[0]["part"])), -np.inf)
+                .orderBy(F.desc("score"))
+                .limit(kk)
+                .collect()
+            )
+            if len(seed_rows) == kk:
+                theta0 = float(seed_rows[-1]["score"]) - 1e-6
+    global _LAST_THETA0  # driver-side introspection (tests + profiling only)
+    _LAST_THETA0 = theta0
+
+    result = _job(posts, theta0)
     return result.orderBy(F.desc("score"), F.desc("doc")).limit(spec.k)
