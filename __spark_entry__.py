@@ -210,6 +210,110 @@ def _sip_dedup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+def _streaming_waveform_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming Analytics waveform (watermarked tumbling-window
+    count) end-to-end over a deterministic two-batch replayed stream of the
+    events table and return the final windowed counts as a DataFrame.
+
+    Same availableNow harness as _sip_dedup_result: the WAL is cut into two
+    parquet files (even/odd event_id — so every window receives rows in
+    BOTH micro-batches and the streaming state must merge partial counts
+    across triggers), maxFilesPerTrigger=1 forces one micro-batch per file,
+    and the memory sink in complete mode holds the final window state. The
+    oracle is the plain batch tumbling-window count over the same rows."""
+    key = f"{id(spark)}:{sf_dir}:swave"
+    if key not in _INDEX_CACHE:
+        import shutil
+        import tempfile
+
+        from miru_spark.streaming.windowed import streaming_waveform
+
+        work = tempfile.mkdtemp(prefix="miru_swave_")
+        src = os.path.join(work, "wal")
+        os.makedirs(src)
+        ev = _events(spark, sf_dir).select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "event_id"
+        )
+        batches = [
+            ("0_batch1", F.col("event_id") % 2 == 0),
+            ("1_batch2", F.col("event_id") % 2 != 0),
+        ]
+        for i, (name, flt) in enumerate(batches):
+            stage = os.path.join(work, f"stage_{name}")
+            (
+                ev.filter(flt)
+                .select("ts", "event_type")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+            assert len(part) == 1, part
+            p = os.path.join(src, f"{name}.parquet")
+            os.rename(os.path.join(stage, part[0]), p)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        wf = streaming_waveform(
+            spark,
+            src,
+            "ts timestamp, event_type string",
+            reader_options={"maxFilesPerTrigger": "1"},
+        )
+        qname = f"swave_{abs(hash(key)) % 10**9}"
+        q = (
+            wf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming waveform did not finish within 600s")
+        rows = [
+            (r["group_value"], r["bucket"], int(r["n"]))
+            for r in spark.table(qname).collect()
+        ]
+        shutil.rmtree(work, ignore_errors=True)
+        _INDEX_CACHE[key] = spark.createDataFrame(
+            rows, "group_value string, bucket timestamp, n long"
+        ).cache()
+    return _INDEX_CACHE[key]
+
+
+def _multimodal_decode_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, gated: a deterministic BMP+WAV payload per
+    document (multimodal.synth_media_table — distributed, Arrow-batched)
+    flows through decode_images and decode_audio; the gated columns are
+    closed-form functions of doc_id the SQL oracle recomputes, including
+    two values that only exist if the PIXEL/SAMPLE paths actually ran:
+    gray_lo/gray_hi (per-pixel grayscale min/max from the decoded BMP pixel
+    array) and zero_cross/peak (sign changes and |max| over the decoded
+    PCM samples). Float parity: the same double-op order both sides, cast
+    through float32 (the operators' declared schema), round(6) both sides."""
+    from miru_spark.operators import multimodal as mm
+
+    media = mm.synth_media_table(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+    imgs = mm.decode_images(media, "item", "img").select(
+        "item",
+        F.col("n_bytes").alias("img_bytes"),
+        "width",
+        "height",
+        F.round(F.element_at(F.col("features"), 5).cast("double"), 6).alias("gray_lo"),
+        F.round(F.element_at(F.col("features"), 6).cast("double"), 6).alias("gray_hi"),
+    )
+    auds = mm.decode_audio(media, "item", "wav").select(
+        "item",
+        F.col("n_bytes").alias("wav_bytes"),
+        "sample_rate",
+        "n_samples",
+        "zero_cross",
+        F.round(F.col("peak").cast("double"), 6).alias("peak"),
+    )
+    return imgs.join(auds, "item")
+
+
 def _loaded_index(spark: SparkSession, sf_dir: str):
     """A PERSISTED index built via index_store.build_persistent and reopened
     with load_index — the lazy/loaded query path (term-pruned packed decode,
@@ -449,9 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # context operators (SURVEY.md §2.5) over events / lineitem
-    q["time_range_mask"] = lambda s, d: analytics.time_range_mask(
-        _events(s, d), "ts", "2024-01-05 00:00:00", "2024-01-10 00:00:00", "event_type"
-    )
+    # round-6 retirement: time_range_mask — the time-range path stays gated
+    # on the index side by fulltext_bm25_timerange (spec mask + WAND
+    # pre-admission + manifest part pruning) and the relational
+    # between-predicate is pytest-held (tests/test_analytics_models.py::
+    # test_time_range_mask_equals_direct_filter); its slot gates the
+    # streaming waveform operator (streaming_waveform_hourly).
     q["distinct_count_error_users"] = lambda s, d: analytics.distinct_count(
         _events(s, d), "user_id", F.col("event_type") == "error"
     )
@@ -464,22 +571,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paired_latest_type_user"] = lambda s, d: analytics.paired_latest(
         _events(s, d), "event_type", "user_id", "event_id"
     )
-    # bloom index (MiruIndexBloom): per-term filter over paired values; the
-    # gate checks the no-false-negative property over every true pair
-    q["bloom_contains_true_pairs"] = lambda s, d: (
-        analytics.bloom_maybe_contains(
-            analytics.bloom_index(_events(s, d), "event_type", "user_id"),
-            _events(s, d).select("event_type", "user_id").distinct(),
-            "event_type",
-            "user_id",
-        ).agg(
-            F.count(F.lit(1)).alias("n_checked"),
-            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("long").alias("n_maybe"),
-        )
-    )
+    # round-6 retirement: bloom_contains_true_pairs — the no-false-negative
+    # property (plus a false-positive-rate sanity bound the gate never
+    # checked) is pytest-held in tests/test_analytics_models.py::
+    # test_bloom_index_*; its slot gates the REAL multimodal decode path
+    # (multimodal_decode_stats).
     q["analytics_waveform_hourly"] = lambda s, d: analytics.waveform(
         _events(s, d), "ts", "event_type", "hour"
     )
+    # streaming waveform (round 6): the same tumbling-window count computed
+    # INCREMENTALLY over a two-micro-batch replayed stream — gates the
+    # watermarked windowed-aggregation state merge (see _streaming_waveform_result)
+    q["streaming_waveform_hourly"] = _streaming_waveform_result
+    # multimodal decode (round 6): real BMP pixel + WAV sample decode over a
+    # deterministic distributed fixture (see _multimodal_decode_result)
+    q["multimodal_decode_stats"] = _multimodal_decode_result
     q["metrics_daily"] = lambda s, d: analytics.metrics(_events(s, d), "ts", "value", "day")
     q["anomaly_error_rate_daily"] = lambda s, d: analytics.anomaly_ratio(
         _events(s, d), "ts", "value", F.col("event_type") == "error", "day"
@@ -646,12 +752,6 @@ GROUP BY term
     o["anomaly_metricing_avg"] = oracles.anomaly_metricing_sql(
         "events", "ts", "user_id", "event_type = 'error'", "hour"
     )
-    o["time_range_mask"] = """
-SELECT event_type AS group_value, count(*) AS n
-FROM events
-WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
-GROUP BY 1
-"""
     o["distinct_count_error_users"] = oracles.distinct_count_sql(
         "events", "user_id", "event_type = 'error'"
     )
@@ -669,11 +769,35 @@ FROM events GROUP BY 1
 SELECT event_type AS a, user_id AS b, max(event_id) AS latest_doc
 FROM events GROUP BY 1, 2
 """
-    o["bloom_contains_true_pairs"] = """
-SELECT count(*) AS n_checked, count(*) AS n_maybe
-FROM (SELECT DISTINCT event_type, user_id FROM events)
-"""
     o["analytics_waveform_hourly"] = oracles.waveform_sql("events", "ts", "event_type", "hour")
+    # the streaming waveform must equal the batch tumbling-window count over
+    # the same rows (the two WAL batches partition the events table exactly)
+    o["streaming_waveform_hourly"] = oracles.waveform_sql("events", "ts", "event_type", "hour")
+    # every gated decode column is a closed-form function of doc_id (the
+    # synth_media_table fixture contract); gray_* and peak replay the decode
+    # arithmetic in the same double-op order through a float32 cast
+    o["multimodal_decode_stats"] = """
+WITH p AS (
+  SELECT doc_id AS item,
+         4 + doc_id % 13 AS w,
+         4 + (doc_id * 7) % 11 AS h,
+         doc_id % 256 AS r, (doc_id * 7) % 256 AS g, (doc_id * 13) % 256 AS b,
+         50 + doc_id % 64 AS n,
+         0.25 + (doc_id % 4) * 0.1 AS amp
+  FROM documents
+)
+SELECT item,
+       54 + ((w * 3 + 3) // 4) * 4 * h AS img_bytes,
+       w AS width, h AS height,
+       round(CAST(CAST((r / 255.0 + g / 255.0 + b / 255.0) / 3.0 AS FLOAT) AS DOUBLE), 6) AS gray_lo,
+       round(CAST(CAST((r / 255.0 + g / 255.0 + b / 255.0) / 3.0 AS FLOAT) AS DOUBLE), 6) AS gray_hi,
+       44 + 2 * n AS wav_bytes,
+       8000 + (item % 4) * 4000 AS sample_rate,
+       n AS n_samples,
+       n - 1 AS zero_cross,
+       round(CAST(CAST(trunc(amp * 32767.0) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS peak
+FROM p
+"""
     o["metrics_daily"] = oracles.metrics_sql("events", "ts", "value", "day")
     o["anomaly_error_rate_daily"] = oracles.anomaly_ratio_sql(
         "events", "ts", "event_type = 'error'", "day"

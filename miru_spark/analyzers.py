@@ -16,16 +16,18 @@ locales this engine can honor faithfully with public material:
 
 * ``en`` (and ``en_*`` via the fallback walk) — English stop set +
   Porter stemmer, the EnglishAnalyzer chain.
+* ``de`` (and ``de_*``) — German Snowball stemmer + the published German
+  stop set, the GermanAnalyzer chain (round 6; ``stem_de.py``).
 * everything else — the standard spec (LogMill code-regex tokenizer, no
   stemming; English stop set iff use_stop_words, mirroring the
   reference's STOPWORD_STANDARD_ANALYZER).
 
-Language-specific analyzers for the other ~30 locales the reference wires
+Language-specific analyzers for the other ~28 locales the reference wires
 (Snowball stemmer family + per-language stop sets) are a DOCUMENTED
-DELTA: re-implementing thirty stemmers adds no new engine machinery —
-``register_analyzer`` is the extension point, and a registered spec flows
-through build/query/fingerprint with zero further wiring (asserted in
-tests/test_analyzers.py).
+DELTA: re-implementing thirty stemmers adds no new engine machinery — the
+``de`` entry is the existence proof that ``register_analyzer``'s shape
+covers them: a registered spec flows through build/query/fingerprint with
+zero further wiring (asserted end-to-end in tests/test_analyzers.py).
 """
 
 from __future__ import annotations
@@ -49,11 +51,24 @@ class AnalyzerSpec:
 # locale -> (with-stopwords spec, without-stopwords spec); the second still
 # stems — the reference's nonStopwordAnalyzers are the same analyzers with
 # an EMPTY stop set, not StandardAnalyzer.
+def _german_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
+    from miru_spark.stem_de import GERMAN_STOPWORDS
+
+    return (
+        AnalyzerSpec(stopwords=GERMAN_STOPWORDS, stemmer="german"),
+        AnalyzerSpec(stopwords=None, stemmer="german"),
+    )
+
+
 _REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
     "en": (
         AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer="porter"),
         AnalyzerSpec(stopwords=None, stemmer="porter"),
     ),
+    # round 6: the GermanAnalyzer chain (Snowball German stemmer + the
+    # published German stop set) — proves register_analyzer's shape holds
+    # beyond English with zero extra wiring
+    "de": _german_registry_entry(),
 }
 
 _STANDARD_STOP = AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer=None)

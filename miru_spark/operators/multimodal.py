@@ -275,6 +275,42 @@ def decode_audio(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(op, AUDIO_META_SCHEMA)
 
 
+def synth_media_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic per-row media fixture: one solid-color 24-bit BMP and
+    one 16-bit PCM square-wave WAV per id, generated DISTRIBUTED through the
+    in-repo encoders (Arrow-batched mapInPandas — nothing driver-side).
+    Every decoded property is a closed-form function of the id, so the
+    decode operators are oracle-checkable in plain SQL:
+
+      width = 4 + id % 13, height = 4 + (id*7) % 11,
+      rgb = (id % 256, (id*7) % 256, (id*13) % 256)
+      n_samples = 50 + id % 64, rate = 8000 + (id % 4) * 4000,
+      square-wave amplitude = 0.25 + (id % 4) * 0.1 (alternating sign, so
+      zero_cross = n_samples - 1 and peak = trunc(amp*32767)/32768).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + (d * 7) % 11
+                img = np.full(
+                    (h, w, 3),
+                    [d % 256, (d * 7) % 256, (d * 13) % 256],
+                    dtype=np.uint8,
+                )
+                n = 50 + d % 64
+                amp = 0.25 + (d % 4) * 0.1
+                samples = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                rows.append(
+                    (d, encode_bmp(img), encode_wav(samples, 8000 + (d % 4) * 4000))
+                )
+            yield pd.DataFrame(rows, columns=["item", "img", "wav"])
+
+    return df.select(id_col).mapInPandas(gen, "item long, img binary, wav binary")
+
+
 def synthesize_binary_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test fixture: treat utf-8 text bytes as an opaque payload column —
     the binary-column schema the real pipeline would carry."""

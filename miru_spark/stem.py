@@ -178,7 +178,13 @@ def stem_cached(word: str) -> str:
     return s
 
 
-STEMMERS = {"porter": stem_cached}
+def _german(word: str) -> str:
+    from miru_spark.stem_de import stem_cached as _de
+
+    return _de(word)
+
+
+STEMMERS = {"porter": stem_cached, "german": _german}
 
 
 def get_stemmer(name: str | None):

@@ -28,10 +28,16 @@ def streaming_waveform(
     group_field: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    reader_options: dict[str, str] | None = None,
 ):
     """readStream → watermarked tumbling-window counts. Caller attaches the
-    sink (memory sink + processAllAvailable in tests)."""
-    events = spark.readStream.format("parquet").schema(schema).load(path)
+    sink (memory sink + processAllAvailable in tests). ``reader_options``
+    passes through to the file source (e.g. maxFilesPerTrigger=1 for a
+    deterministic per-file micro-batch replay)."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    events = reader.load(path)
     # watermarks need TIMESTAMP (with tz); parquet NTZ timestamps are cast
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (

@@ -164,3 +164,54 @@ def test_aggregate_counts_unread_flags(spark):
     assert got["a"] == (2, 1, True, 2)
     assert got["b"] == (1, 1, True, 3)
     assert got["c"] == (1, 0, False, 4)
+
+
+# --- retired-gate-slot coverage (FIXTURES.md §7 rule 1b, round 6) ---------
+
+
+def test_time_range_mask_equals_direct_filter(spark, sf_dir):
+    # the relational between-predicate path (the index-side time-range mask
+    # stays gated via fulltext_bm25_timerange)
+    from miru_spark.operators import analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = "2024-01-05 00:00:00", "2024-01-10 00:00:00"
+    got = {
+        r["group_value"]: r["n"]
+        for r in analytics.time_range_mask(ev, "ts", lo, hi, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got  # non-vacuous: the fixture window has rows
+
+
+def test_bloom_index_no_false_negatives_and_fp_sanity(spark, sf_dir):
+    from miru_spark.operators import analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bloom = analytics.bloom_index(ev, "event_type", "user_id")
+    true_pairs = ev.select("event_type", "user_id").distinct()
+    # (a) every true pair answers maybe=true — no false negatives
+    res = analytics.bloom_maybe_contains(
+        bloom, true_pairs, "event_type", "user_id"
+    )
+    n_checked, n_maybe = res.agg(
+        F.count(F.lit(1)), F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+    ).first()
+    assert n_checked == n_maybe and n_checked > 0
+    # (b) absent pairs (shifted user ids far outside the fixture's id space)
+    # mostly answer maybe=false: fp rate ≈ (1-e^{-kn/m})^k — with the
+    # fixture's per-term cardinalities this stays far below 50%
+    absent = true_pairs.select(
+        "event_type", (F.col("user_id") + 10_000_000).alias("user_id")
+    )
+    fp = analytics.bloom_maybe_contains(bloom, absent, "event_type", "user_id")
+    n_abs, n_fp = fp.agg(
+        F.count(F.lit(1)), F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+    ).first()
+    assert n_abs == n_checked and n_fp < n_abs / 2

@@ -250,3 +250,31 @@ def test_streaming_unread_tracker(spark, tmp_path):
         assert (rows[0]["n_unread"], rows[0]["last_read"]) == (3, 2)
     finally:
         q.stop()
+
+
+def test_synth_media_table_closed_form_contract(spark, documents):
+    """The gate oracle for multimodal_decode_stats recomputes decode outputs
+    as closed-form functions of doc_id — pin that contract here: real decode
+    of the synthesized payloads must equal the formulas (incl. the float32
+    pixel/sample paths the SQL oracle replays)."""
+    import numpy as np
+
+    from miru_spark.operators import multimodal as mm
+
+    media = mm.synth_media_table(documents.select("doc_id").limit(64), "doc_id")
+    img = {r["item"]: r for r in mm.decode_images(media, "item", "img").collect()}
+    aud = {r["item"]: r for r in mm.decode_audio(media, "item", "wav").collect()}
+    assert len(img) == len(aud) > 0
+    for d, r in img.items():
+        w, h = 4 + d % 13, 4 + (d * 7) % 11
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == 54 + ((w * 3 + 3) // 4) * 4 * h
+        gray = np.float32((d % 256 / 255.0 + d * 7 % 256 / 255.0 + d * 13 % 256 / 255.0) / 3.0)
+        assert r["features"][4] == gray and r["features"][5] == gray
+    for d, r in aud.items():
+        n = 50 + d % 64
+        assert r["n_samples"] == n and r["zero_cross"] == n - 1
+        assert r["n_bytes"] == 44 + 2 * n
+        assert r["sample_rate"] == 8000 + (d % 4) * 4000
+        amp = 0.25 + (d % 4) * 0.1
+        assert r["peak"] == np.float32(np.trunc(amp * 32767.0) / 32768.0)
