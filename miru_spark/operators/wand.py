@@ -51,8 +51,18 @@ from miru_spark.operators.fulltext import (
 # partition (see the measured rationale at the auto branch in wand_topk)
 _TAAT_CUTOFF = int(os.environ.get("SPARK_GRAFT_TAAT_CUTOFF", "8000000"))
 # the cross-partition θ-seed pre-pass (an extra small job) only pays once a
-# query's total posting volume is large — below this it's pure overhead
-_SEED_MIN_POSTINGS = int(os.environ.get("SPARK_GRAFT_WAND_SEED_MIN", "1000000"))
+# query's total posting volume is large — below this it's pure overhead.
+# Measured (BENCH/theta_seed_sf1.0.json, interleaved A/B, identity-checked):
+# at 50k-doc volumes the pre-pass job costs ~0.5 s for zero pruning; at
+# 1.5M postings it is still neutral (0.94× best-of — the kth score of a
+# hot-term OR is too low to prune blocks, and concurrently-running
+# partitions self-warm their heap within ~k docs anyway, unlike the
+# reference's SEQUENTIAL partition walk where the carry is free). Default
+# therefore aligns with the TAAT→WAND switch: only queries big enough to
+# run the python block-max kernel may pay the seed job.
+_SEED_MIN_POSTINGS = int(
+    os.environ.get("SPARK_GRAFT_WAND_SEED_MIN", str(8_000_000))
+)
 # θ₀ the last wand_topk call seeded with (−inf = pre-pass skipped);
 # driver-side, for tests and the BENCH profiling script only
 _LAST_THETA0 = -np.inf
