@@ -18,16 +18,24 @@ locales this engine can honor faithfully with public material:
   Porter stemmer, the EnglishAnalyzer chain.
 * ``de`` (and ``de_*``) — German Snowball stemmer + the published German
   stop set, the GermanAnalyzer chain (round 6; ``stem_de.py``).
+* ``sv`` — Swedish Snowball stemmer + stop set, the SwedishAnalyzer
+  chain (round 6; ``stem_sv.py``).
+* ``nb`` / ``nn`` — Norwegian Snowball stemmer + stop set, one shared
+  NorwegianAnalyzer chain exactly as the reference's builder map wires
+  both locales (round 6; ``stem_no.py``).
+* ``da`` — Danish Snowball stemmer + stop set, the DanishAnalyzer chain
+  (round 6; ``stem_da.py``).
 * everything else — the standard spec (LogMill code-regex tokenizer, no
   stemming; English stop set iff use_stop_words, mirroring the
   reference's STOPWORD_STANDARD_ANALYZER).
 
-Language-specific analyzers for the other ~28 locales the reference wires
-(Snowball stemmer family + per-language stop sets) are a DOCUMENTED
+Language-specific analyzers for the remaining ~24 locales the reference
+wires (Snowball stemmer family + per-language stop sets) are a DOCUMENTED
 DELTA: re-implementing thirty stemmers adds no new engine machinery — the
-``de`` entry is the existence proof that ``register_analyzer``'s shape
-covers them: a registered spec flows through build/query/fingerprint with
-zero further wiring (asserted end-to-end in tests/test_analyzers.py).
+``de``/``sv``/``nb``/``da`` entries are the existence proof that
+``register_analyzer``'s shape covers them: a registered spec flows
+through build/query/fingerprint with zero further wiring (asserted
+end-to-end in tests/test_analyzers.py).
 """
 
 from __future__ import annotations
@@ -60,6 +68,35 @@ def _german_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
     )
 
 
+def _swedish_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
+    from miru_spark.stem_sv import SWEDISH_STOPWORDS
+
+    return (
+        AnalyzerSpec(stopwords=SWEDISH_STOPWORDS, stemmer="swedish"),
+        AnalyzerSpec(stopwords=None, stemmer="swedish"),
+    )
+
+
+def _norwegian_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
+    from miru_spark.stem_no import NORWEGIAN_STOPWORDS
+
+    return (
+        AnalyzerSpec(stopwords=NORWEGIAN_STOPWORDS, stemmer="norwegian"),
+        AnalyzerSpec(stopwords=None, stemmer="norwegian"),
+    )
+
+
+def _danish_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
+    from miru_spark.stem_da import DANISH_STOPWORDS
+
+    return (
+        AnalyzerSpec(stopwords=DANISH_STOPWORDS, stemmer="danish"),
+        AnalyzerSpec(stopwords=None, stemmer="danish"),
+    )
+
+
+_NORWEGIAN_PAIR = _norwegian_registry_entry()
+
 _REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
     "en": (
         AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer="porter"),
@@ -69,6 +106,13 @@ _REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
     # published German stop set) — proves register_analyzer's shape holds
     # beyond English with zero extra wiring
     "de": _german_registry_entry(),
+    # round 6, second batch: the SwedishAnalyzer chain, and the
+    # NorwegianAnalyzer chain wired for BOTH nb and nn exactly as the
+    # reference's builder map does (TermAnalyzers.java:119-138)
+    "sv": _swedish_registry_entry(),
+    "nb": _NORWEGIAN_PAIR,
+    "nn": _NORWEGIAN_PAIR,
+    "da": _danish_registry_entry(),
 }
 
 _STANDARD_STOP = AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer=None)

@@ -184,7 +184,31 @@ def _german(word: str) -> str:
     return _de(word)
 
 
-STEMMERS = {"porter": stem_cached, "german": _german}
+def _swedish(word: str) -> str:
+    from miru_spark.stem_sv import stem_cached as _sv
+
+    return _sv(word)
+
+
+def _norwegian(word: str) -> str:
+    from miru_spark.stem_no import stem_cached as _no
+
+    return _no(word)
+
+
+def _danish(word: str) -> str:
+    from miru_spark.stem_da import stem_cached as _da
+
+    return _da(word)
+
+
+STEMMERS = {
+    "porter": stem_cached,
+    "german": _german,
+    "swedish": _swedish,
+    "norwegian": _norwegian,
+    "danish": _danish,
+}
 
 
 def get_stemmer(name: str | None):
