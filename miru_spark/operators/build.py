@@ -847,6 +847,15 @@ class IndexHandle:
     # circuit (FullTextCustomQuestion.java:62-67): a timeRange query skips
     # parts whose key range can't intersect BEFORE the postings scan.
     part_ranges: dict | None = None
+    # driver-resident memo of (term -> (df, cum_tf) | None-for-absent) and
+    # (prefix, max_expansion) -> [terms] lookups — the reference keeps field
+    # stats resident per open partition (LAB field-index cardinality cells),
+    # and a handle is an immutable snapshot of one index generation (upsert/
+    # compact produce a NEW handle via load_index), so memoization cannot go
+    # stale. Saves the per-query stats-scan Spark job for warm terms; see
+    # fulltext.term_stats / fulltext._expand_prefix.
+    term_stats_cache: dict | None = None
+    prefix_cache: dict | None = None
     # every relation this build cached/persisted — freed by unpersist() so
     # repeated builds in one session don't accumulate BlockManager entries
     cached: list = dataclass_field(default_factory=list)

@@ -45,6 +45,7 @@ from miru_spark.operators.fulltext import (
     expand_clauses,
     expand_negatives,
     parts_for_time_range,
+    term_stats as _ft_stats,
 )
 
 # kernel='auto' switches TAAT → WAND above this many decoded postings per
@@ -402,8 +403,10 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     qinfo = {t: (q, c) for t, q, c in expanded}
     terms = sorted(qinfo)
     neg_terms = expand_negatives(index, spec)
-    stats_rows = index.stats.filter(F.col("term").isin(terms + neg_terms)).collect()
-    stats = {r["term"]: (float(r["df"]), float(r["cum_tf"])) for r in stats_rows}
+    stats = {
+        t: (float(df), float(cum_tf))
+        for t, (df, cum_tf) in _ft_stats(index, terms + neg_terms).items()
+    }
     n_docs, avgdl = index.corpus.n_docs, index.corpus.avgdl
     required = sorted({c for _, _, c in expanded})
     if spec.op == "and" and len(required) < len(spec.positive):

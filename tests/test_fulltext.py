@@ -204,3 +204,45 @@ def test_tree_combination_paranoia_sweep(doc_index, documents):
             assert want, f"vacuous case: {q}"
     finally:
         idx.unpersist()
+
+
+class _PoisonStats:
+    """stats stand-in that fails the test if any query path scans it —
+    only the sparkSession attribute (used to build the q relation) passes
+    through."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    @property
+    def sparkSession(self):
+        return self._inner.sparkSession
+
+    def __getattr__(self, name):
+        raise AssertionError(f"stats relation touched ({name}) on warm terms")
+
+
+def test_term_stats_memo_skips_stats_scan(doc_index):
+    """Warm (term, prefix) lookups must not re-scan the stats relation: a
+    handle is an immutable snapshot of one index generation, so the memo
+    (fulltext.term_stats / _expand_prefix) serves repeats driver-side.
+    Results stay identical, including memoized-absent terms."""
+    from miru_spark.operators import wand
+
+    queries = ["spark AND join", "spark OR zzznotaterm", "cust*"]
+    warm = [sorted(map(tuple, fulltext.top_k(doc_index, q, k=10).collect()))
+            for q in queries]
+    warm_w = sorted(map(tuple, wand.wand_topk(doc_index, "spark OR join", k=10).collect()))
+    assert doc_index.term_stats_cache and doc_index.prefix_cache
+    assert any(v is None for v in doc_index.term_stats_cache.values())  # absent memoized
+    orig = doc_index.stats
+    doc_index.stats = _PoisonStats(orig)
+    try:
+        again = [sorted(map(tuple, fulltext.top_k(doc_index, q, k=10).collect()))
+                 for q in queries]
+        again_w = sorted(map(tuple, wand.wand_topk(doc_index, "spark OR join", k=10).collect()))
+    finally:
+        doc_index.stats = orig
+        doc_index.term_stats_cache = None
+        doc_index.prefix_cache = None
+    assert again == warm and again_w == warm_w
