@@ -26,6 +26,8 @@ join happens after LIMIT (lazy materialization, FullText.java:204-217).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,10 +89,44 @@ def postings_for_terms(
     from miru_spark.operators.build import unpack_postings
 
     if index.lazy:
-        return unpack_postings(
-            _part_pruned(index.packed.filter(F.col("term").isin(terms)), parts)
-        )
+        pk = _part_pruned(index.packed.filter(F.col("term").isin(terms)), parts)
+        width = _decode_width(index, terms)
+        if width:
+            pk = pk.coalesce(width)
+        return unpack_postings(pk)
     return _part_pruned(index.flat.filter(F.col("term").isin(terms)), parts)
+
+
+# decode-stage sizing: each unpack task is a Python/Arrow worker round trip
+# (~10 ms fixed each), so a term-pruned decode over the pack's full width
+# pays ~width× that for mostly-empty partitions. The per-handle stats memo
+# knows the EXACT total df for the query's terms before the plan is built,
+# so the decode width derives from data volume — small queries coalesce to
+# a couple of tasks (no shuffle; coalesce merges cached-scan partitions),
+# huge terms keep the full width. df is a property of the DATA, not the
+# session, so N-core and 4N-core runs still build identical plans (the
+# scaling-bench invariant).
+_DECODE_POSTINGS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_DECODE_POSTINGS_PER_TASK", "262144")
+)
+
+
+def _decode_width(index: IndexHandle, terms: list[str]) -> int | None:
+    """Target decode-partition count for a term-pruned unpack, or None to
+    keep the pack's native width (unknown stats / very wide term lists)."""
+    if len(terms) > 256:
+        return None
+    try:
+        stats = term_stats(index, terms)
+    except Exception:
+        return None
+    total = sum(df for df, _ in stats.values())
+    width = max(1, -(-total // _DECODE_POSTINGS_PER_TASK))
+    native = getattr(index, "_packed_width", None)
+    if native is None:
+        native = index.packed.rdd.getNumPartitions()
+        index._packed_width = native
+    return width if width < native else None
 
 
 _STATS_CACHE_MAX = 1_000_000
