@@ -25,14 +25,16 @@ locales this engine can honor faithfully with public material:
   both locales (round 6; ``stem_no.py``).
 * ``da`` — Danish Snowball stemmer + stop set, the DanishAnalyzer chain
   (round 6; ``stem_da.py``).
+* ``nl`` — Dutch Snowball stemmer + stop set, the DutchAnalyzer chain
+  (round 6; ``stem_nl.py``).
 * everything else — the standard spec (LogMill code-regex tokenizer, no
   stemming; English stop set iff use_stop_words, mirroring the
   reference's STOPWORD_STANDARD_ANALYZER).
 
-Language-specific analyzers for the remaining ~24 locales the reference
+Language-specific analyzers for the remaining ~23 locales the reference
 wires (Snowball stemmer family + per-language stop sets) are a DOCUMENTED
 DELTA: re-implementing thirty stemmers adds no new engine machinery — the
-``de``/``sv``/``nb``/``da`` entries are the existence proof that
+``de``/``sv``/``nb``/``da``/``nl`` entries are the existence proof that
 ``register_analyzer``'s shape covers them: a registered spec flows
 through build/query/fingerprint with zero further wiring (asserted
 end-to-end in tests/test_analyzers.py).
@@ -95,6 +97,15 @@ def _danish_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
     )
 
 
+def _dutch_registry_entry() -> tuple[AnalyzerSpec, AnalyzerSpec]:
+    from miru_spark.stem_nl import DUTCH_STOPWORDS
+
+    return (
+        AnalyzerSpec(stopwords=DUTCH_STOPWORDS, stemmer="dutch"),
+        AnalyzerSpec(stopwords=None, stemmer="dutch"),
+    )
+
+
 _NORWEGIAN_PAIR = _norwegian_registry_entry()
 
 _REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
@@ -113,6 +124,7 @@ _REGISTRY: dict[str, tuple[AnalyzerSpec, AnalyzerSpec]] = {
     "nb": _NORWEGIAN_PAIR,
     "nn": _NORWEGIAN_PAIR,
     "da": _danish_registry_entry(),
+    "nl": _dutch_registry_entry(),
 }
 
 _STANDARD_STOP = AnalyzerSpec(stopwords=ENGLISH_STOPWORDS, stemmer=None)

@@ -202,12 +202,19 @@ def _danish(word: str) -> str:
     return _da(word)
 
 
+def _dutch(word: str) -> str:
+    from miru_spark.stem_nl import stem_cached as _nl
+
+    return _nl(word)
+
+
 STEMMERS = {
     "porter": stem_cached,
     "german": _german,
     "swedish": _swedish,
     "norwegian": _norwegian,
     "danish": _danish,
+    "dutch": _dutch,
 }
 
 

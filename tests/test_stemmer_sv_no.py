@@ -19,6 +19,8 @@ from miru_spark.analyzers import find_analyzer
 from miru_spark.stem import get_stemmer
 from miru_spark.stem_da import DANISH_STOPWORDS
 from miru_spark.stem_da import stem as stem_da
+from miru_spark.stem_nl import DUTCH_STOPWORDS
+from miru_spark.stem_nl import stem as stem_nl
 from miru_spark.stem_no import NORWEGIAN_STOPWORDS
 from miru_spark.stem_no import stem as stem_no
 from miru_spark.stem_sv import SWEDISH_STOPWORDS
@@ -87,9 +89,40 @@ def test_golden_vectors_norwegian():
     assert not bad, bad
 
 
+GOLDEN_NL = {
+    # step 1: en/ene with en-ending + kk/dd/tt undouble; s with s-ending;
+    # heden -> heid (blocked when it starts before R1)
+    "lichamen": "licham", "bedden": "bed", "katten": "kat",
+    "broods": "brod", "heden": "heden", "bollen": "boll",
+    # step 2 e-removal
+    "wondere": "wonder",
+    # step 3a heid (not after c) + chained lijk / repeat-step-2
+    "lichamelijkheden": "licham", "lichamelijk": "licham",
+    "aanwezigheid": "aanwez",
+    # step 3b end/ing with the ig chain; baar in R2
+    "wandeling": "wandel", "verdediging": "verded", "openbaar": "open",
+    # step 4 undouble vowel (brood -> brod); I exclusion via prelude
+    "brood": "brod", "mooie": "mooi", "koeien": "koei",
+}
+
+
 def test_golden_vectors_danish():
     bad = {w: (stem_da(w), e) for w, e in GOLDEN_DA.items() if stem_da(w) != e}
     assert not bad, bad
+
+
+def test_golden_vectors_dutch():
+    bad = {w: (stem_nl(w), e) for w, e in GOLDEN_NL.items() if stem_nl(w) != e}
+    assert not bad, bad
+
+
+def test_registry_wires_dutch_chain():
+    nl = find_analyzer("nl", use_stop_words=True)
+    assert nl.stopwords is DUTCH_STOPWORDS and nl.stemmer == "dutch"
+    assert find_analyzer("nl_NL") == nl
+    no_stop = find_analyzer("nl", use_stop_words=False)
+    assert no_stop.stopwords is None and no_stop.stemmer == "dutch"
+    assert get_stemmer("dutch")("wandeling") == "wandel"
 
 
 def test_registry_wires_danish_chain():
