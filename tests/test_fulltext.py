@@ -246,3 +246,21 @@ def test_term_stats_memo_skips_stats_scan(doc_index):
         doc_index.term_stats_cache = None
         doc_index.prefix_cache = None
     assert again == warm and again_w == warm_w
+
+
+def test_term_stats_memo_eviction_keeps_current_query_terms(doc_index, monkeypatch):
+    """When the memo hits its size bound and clears, terms of the CURRENT
+    query that were already cached must still be (re)fetched — computing
+    the miss list before the clear silently dropped them, and the query
+    then scored as if those terms didn't exist (round-6 ADVICE, medium)."""
+    doc_index.term_stats_cache = None
+    warm = fulltext.term_stats(doc_index, ["spark"])
+    assert "spark" in warm
+    # force the next lookup to evict: every entry beyond a 0-size bound
+    monkeypatch.setattr(fulltext, "_STATS_CACHE_MAX", 0)
+    try:
+        got = fulltext.term_stats(doc_index, ["spark", "join"])
+        assert "spark" in got and got["spark"] == warm["spark"]
+        assert "join" in got
+    finally:
+        doc_index.term_stats_cache = None
