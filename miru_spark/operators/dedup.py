@@ -164,7 +164,20 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> Dat
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Banding: docs sharing any band bucket become candidate pairs."""
+    """Banding: docs sharing any band bucket become candidate pairs.
+
+    Shape (r7): the naive self-join sort-merges the full (doc × bands)
+    relation against itself — at sf1.0 that sorts 2 × 1.6M rows AND
+    recomputes the upstream signature kernel once per join side — even
+    though almost every bucket is a singleton that can never produce a
+    pair. Instead: one map-side-combinable count finds the 'hot' buckets
+    (≥ 2 docs, a tiny relation), a broadcast semi-join keeps only banded
+    rows in hot buckets, and the pair self-join runs on that small
+    remainder. Candidates are identical — singleton buckets contribute no
+    pairs by definition. ``banded`` is cached so the count pass and the
+    filter pass share one signature computation (it backs both sides of
+    the final join too); the cache is a bounded (doc × bands) long-pair
+    relation, freed when the plan's lifecycle ends."""
     banded = sig.select(
         "doc",
         F.explode(
@@ -179,8 +192,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = banded.cache()
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("band", "bucket")
+    )
+    in_hot = banded.join(F.broadcast(hot), ["band", "bucket"], "leftsemi")
+    a = in_hot.alias("a")
+    b = in_hot.alias("b")
     return (
         a.join(
             b,
@@ -213,10 +234,22 @@ def minhash_dedup_pairs(
     """
     sh = shingles(df, id_col, text_col, n).cache()
     sig = minhash_signatures(sh, k, seed)
-    cand = lsh_candidate_pairs(sig, bands, rows)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("s"))
-    b_sh = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("s"))
+    # cand backs three consumers (the a-side join and both legs of the
+    # candidate-doc semi-filter); cache it or each recomputes the banding
+    cand = lsh_candidate_pairs(sig, bands, rows).cache()
+    # verify touches only candidate docs' shingles — semi-filter the 2.6M-row
+    # shingle relation down to the ~4k candidate docs BEFORE the attach
+    # joins and the sizes aggregate (guide §3.2's semi-join pre-filter);
+    # per-doc shingle counts are unchanged by dropping other docs' rows
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cdocs), "doc", "leftsemi")
+    sizes = shc.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = shc.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("s"))
+    b_sh = shc.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("s"))
     inter = (
         cand.join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "s"])
@@ -344,7 +377,10 @@ def connected_components(
     scalar is the convergence count — the orchestrator pattern for iterative
     algorithms (the data never visits the driver).
     """
-    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # materialize the pair list BEFORE the symmetric union branches it:
+    # both union legs read one plan, so an expensive upstream (the whole
+    # minhash verify pipeline in dup_clusters) runs once, not once per leg
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint(eager=True)
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (
@@ -359,34 +395,41 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        # `old` rides along so the convergence check below is a narrow scan
+        # of the checkpointed round output — the previous shape re-joined
+        # jumped against labels (one extra shuffle join per round) just to
+        # recover the pre-round label. stepped is checkpointed because the
+        # jump step consumes it TWICE (as input and as the label(label)
+        # lookup side); un-materialized, Spark recomputes the whole
+        # neighbor-min subtree once per branch.
         stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         # pointer jump: label <- label(label)
         lab2 = stepped.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
         jumped = (
             stepped.join(lab2, stepped["label"] == lab2["n2"], "left")
-            .select("node", F.least("label", F.coalesce("l2", "label")).alias("label"))
+            .select(
+                "node", "old",
+                F.least("label", F.coalesce("l2", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.label") != F.col("old.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.select("node", "label")
+        if jumped.filter(F.col("old") != F.col("label")).isEmpty():
             break
     else:
         # pointer jumping covers diameter ~2^max_iter in max_iter rounds —
         # exhausting the budget while labels still move means a bug (or an
         # adversarial graph), and silently returning split components would
         # let duplicate docs survive dedup with no signal. Fail loudly.
+        changed = jumped.filter(F.col("old") != F.col("label")).count()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still moving) — with pointer jumping this "
