@@ -94,6 +94,11 @@ def postings_for_terms(
         if width:
             pk = pk.coalesce(width)
         return unpack_postings(pk)
+    # in-memory flat: the cached scan stays at its native width — a
+    # coalesce here was A/B-measured neutral-to-harmful (the cache filter
+    # must read every cached row regardless of Σdf, so narrowing the scan
+    # serializes real work, unlike the lazy path where the parquet filter
+    # prunes row groups before decode)
     return _part_pruned(index.flat.filter(F.col("term").isin(terms)), parts)
 
 
@@ -284,6 +289,19 @@ def score_candidates(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     contrib = cand.withColumn(
         "contrib", _contrib_col(spec.scorer, index.corpus.n_docs, index.corpus.avgdl)
     )
+    # single-task-sized queries (Σdf under one task's postings budget, the
+    # common point-query case) pre-partition BY THE GROUPING KEYS into ONE
+    # partition: the groupBy reuses this exchange (same keys ⇒ distribution
+    # satisfied), collapsing scan→agg→top-k into a 1-exchange plan with no
+    # AQE coalesce round-trip — measured −18% warm latency on a single-term
+    # query. Larger queries keep the default shuffle: their partial
+    # aggregation compresses multi-term docs BEFORE the exchange, which the
+    # keyed repartition would forfeit (measured +20% on a 100-term prefix).
+    # Σdf comes from the warm stats memo — a data property, so plans stay
+    # identical across session widths.
+    srows = term_stats(index, terms)  # memo hit — no job
+    if sum(df for df, _ in srows.values()) <= _DECODE_POSTINGS_PER_TASK:
+        contrib = contrib.repartition(1, "part", "doc_id", "doc_key")
     scored = contrib.groupBy("part", "doc_id", "doc_key").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "contrib"))),
@@ -653,6 +671,14 @@ def _top_k_tree_single_scan(index: IndexHandle, spec: QuerySpec) -> DataFrame:
     flag_cols = [
         F.max(F.when(preds[i], F.lit(True))).alias(f"_l{i}") for i in range(len(leaves))
     ]
+    if content_terms and not aux_preds:
+        # same single-task-sized exchange rule as score_candidates: the scan
+        # is term-pruned, so its row count is Σdf of the content leaves
+        # (known from the warm stats memo); aux-backed trees keep the
+        # default width because the aux branch's cardinality is not memoized
+        srows_all = term_stats(index, sorted(content_terms))
+        if sum(df for df, _ in srows_all.values()) <= _DECODE_POSTINGS_PER_TASK:
+            cand = cand.repartition(1, "part", "doc_id", "doc_key")
     grouped = cand.groupBy("part", "doc_id", "doc_key").agg(score_agg, *flag_cols)
 
     def flag(i: int) -> F.Column:
