@@ -1078,7 +1078,19 @@ def build_index(
     if cache:
         stats = stats.cache()
         cached.append(stats)
-    row = meta.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    # corpus stats WITHOUT aggregating the per-doc meta relation: n_docs is
+    # the (cached) id-relation count, and Σdl ≡ Σtf over the postings (a
+    # doc's length is the sum of its term frequencies by construction), so
+    # avg(dl) = Σtf / n computed as one map-side-combinable sum instead of
+    # the flat groupBy(part, doc_id) + left-join the meta aggregate paid.
+    # Integer totals are exact (< 2^53) and both the JVM's avg and Python's
+    # float division produce the correctly-rounded IEEE quotient of the
+    # same two integers, so the BM25 avgdl is bit-identical.
+    n_docs = docs.count()
+    if strategy == "fused":
+        total_dl = dl_rows.agg(F.sum("dl")).collect()[0][0]
+    else:
+        total_dl = flat.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0]
     return IndexHandle(
         docs=docs,
         flat=flat,
@@ -1086,7 +1098,7 @@ def build_index(
         packed=packed,
         stats=stats,
         lens=meta.select("part", "doc_id", "doc_key", "dl"),
-        corpus=CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"])),
+        corpus=CorpusStats(n_docs=int(n_docs), avgdl=float(total_dl) / n_docs),
         hot_terms=hot,
         aux=(
             aux_postings(docs, aux_fields or [], numeric_aux_fields)
