@@ -113,54 +113,75 @@ def strut_score(
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy must be one of {STRATEGIES}")
     fids = sorted(features)
-    out = df.select(F.col(id_col).alias("doc"))
-    for fid in fids:
+
+    def _comps(fid):
         comps = features[fid]
-        if not isinstance(comps, (list, tuple)):
-            comps = [comps]
+        return list(comps) if isinstance(comps, (list, tuple)) else [comps]
+
+    def _is_multi(fid):
+        probe = df.select(*[c.alias(f"__c{i}") for i, c in enumerate(_comps(fid))])
+        return any(
+            isinstance(probe.schema[f"__c{i}"].dataType, ArrayType)
+            for i in range(len(_comps(fid)))
+        )
+
+    def _model_side(fid):
+        return model.filter(F.col("feature_id") == fid).select(
+            F.col("feature_value").alias(f"__f_{fid}"),
+            (
+                F.least(
+                    F.col("numerator").cast("double") / F.col("denominator"),
+                    F.lit(1.0),
+                )
+            ).alias(f"__s_{fid}"),
+        )
+
+    def _fv(names):
+        return (
+            F.col(names[0]).cast("string")
+            if len(names) == 1
+            else F.concat_ws("\x1f", *[F.col(n).cast("string") for n in names])
+        )
+
+    single = [fid for fid in fids if not _is_multi(fid)]
+    multi = [fid for fid in fids if _is_multi(fid)]
+    # single-valued features are per-row expressions over the SAME row, so
+    # every feature value rides ONE scan of the candidate relation and each
+    # model lookup is a broadcast join on the value — the previous
+    # per-feature doc-keyed reattach join sort-merged the full candidate
+    # relation once per feature (2 × 1M-row shuffles on the bench shape)
+    # for information the row already carried. Zero shuffles remain on the
+    # all-single path; multi-valued (permutate) features keep the
+    # explode → broadcast lookup → per-doc max → doc join shape.
+    def _fv_inline(fid):
+        comps = _comps(fid)
+        expr = (
+            comps[0].cast("string")
+            if len(comps) == 1
+            else F.concat_ws("\x1f", *[c.cast("string") for c in comps])
+        )
+        return expr.alias(f"__f_{fid}")
+
+    out = df.select(F.col(id_col).alias("doc"), *[_fv_inline(fid) for fid in single])
+    for fid in single:
+        out = out.join(F.broadcast(_model_side(fid)), f"__f_{fid}", "left")
+    for fid in multi:
+        comps = _comps(fid)
         inst = df.select(
             F.col(id_col).alias("doc"),
             *[c.alias(f"__c{i}") for i, c in enumerate(comps)],
         )
         names = [f"__c{i}" for i in range(len(comps))]
-        multi = False
         for name in names:
             if isinstance(inst.schema[name].dataType, ArrayType):
-                multi = True
                 inst = inst.withColumn(name, F.explode(F.array_distinct(F.col(name))))
-        fv = (
-            F.col(names[0]).cast("string")
-            if len(names) == 1
-            else F.concat_ws("\x1f", *[F.col(n).cast("string") for n in names])
+        inst = inst.select("doc", _fv(names).alias(f"__f_{fid}"))
+        scored = (
+            inst.join(F.broadcast(_model_side(fid)), f"__f_{fid}")
+            .groupBy("doc")
+            .agg(F.max(f"__s_{fid}").alias(f"__s_{fid}"))
         )
-        inst = inst.select("doc", fv.alias(f"__f_{fid}"))
-        m = (
-            model.filter(F.col("feature_id") == fid)
-            .select(
-                F.col("feature_value").alias(f"__f_{fid}"),
-                (
-                    F.least(
-                        F.col("numerator").cast("double") / F.col("denominator"),
-                        F.lit(1.0),
-                    )
-                ).alias(f"__s_{fid}"),
-            )
-        )
-        if multi:
-            scored = (
-                inst.join(F.broadcast(m), f"__f_{fid}")
-                .groupBy("doc")
-                .agg(F.max(f"__s_{fid}").alias(f"__s_{fid}"))
-            )
-            out = out.join(scored, "doc", "left")
-        else:
-            out = out.join(
-                inst.join(F.broadcast(m), f"__f_{fid}", "left").select(
-                    "doc", f"__s_{fid}"
-                ),
-                "doc",
-                "left",
-            )
+        out = out.join(scored, "doc", "left")
     s = [F.coalesce(F.col(f"__s_{fid}"), F.lit(0.0)) for fid in fids]
     if strategy == "unit_weighted":
         score = sum(s[1:], s[0]) / F.lit(float(len(s)))
