@@ -44,23 +44,53 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc, shingle) — distinct token n-grams, Catalyst-only.
+    """(doc, shingle) — distinct token n-grams.
 
-    Docs with fewer than n tokens produce no shingles (pre-filtered: without
-    the guard F.sequence(0, size-n) generates a descending sequence and
-    slice() throws at runtime). Matches the oracle's WHERE len(t) >= n.
-    """
-    t = tokens_col(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("__t")) - n),
-        lambda i: F.array_join(F.slice(F.col("__t"), i + 1, n), " "),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc"), t.alias("__t"))
-        .filter(F.size(F.col("__t")) >= n)
-        .select("doc", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    One Arrow kernel per batch: tokenize (same regex dialect as
+    tokenize.tokens_col, asserted by the oracle gates), slide the n-gram
+    window, and dedup per doc with a set. Per-doc dedup ≡ the previous
+    global ``.distinct()`` because the doc id is part of the key — so the
+    distinct SHUFFLE of the full (doc, shingle) relation (2.6M rows at
+    sf1.0) disappears along with the interpreted transform/slice/array_join
+    lambda chain and the explode. Docs with fewer than n tokens produce no
+    shingles, matching the oracle's WHERE len(t) >= n."""
+    import re
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    from miru_spark.tokenize import TOKEN_SPLIT_RE
+
+    find_re = re.compile(TOKEN_SPLIT_RE.replace("[^", "[", 1))
+
+    def _shingle(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            docs = batch.column("doc").to_numpy(zero_copy_only=False)
+            texts = batch.column("__text").to_pylist()
+            o_doc: list = []
+            o_sh: list = []
+            for d, txt in zip(docs, texts):
+                if not txt:
+                    continue
+                toks = find_re.findall(txt.lower())
+                if len(toks) < n:
+                    continue
+                grams = set(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                o_doc.append(np.full(len(grams), d, dtype=np.int64))
+                o_sh.extend(grams)
+            if o_sh:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(o_doc)), pa.array(o_sh, pa.string())],
+                    names=["doc", "shingle"],
+                )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("__text")
+    ).mapInArrow(_shingle, "doc long, shingle string")
 
 
 def jaccard_pairs(
