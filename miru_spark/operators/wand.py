@@ -514,6 +514,16 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
     empty_removed = pd.DataFrame({"part": pd.Series([], dtype="int32"),
                                   "doc_id": pd.Series([], dtype="int32")})
 
+    # single-task-sized queries (Σdf under one task's postings budget — the
+    # same df-derived rule as fulltext.score_candidates) pre-partition BY
+    # PART into one partition: the grouped map reuses that exchange, so the
+    # kernel job is scan → ONE exchange → python kernel instead of a
+    # session-width shuffle fanning ~50 part-groups over 32 reducers. Σdf
+    # is a data property, so N- and 4N-core sessions plan identically.
+    from miru_spark.operators.fulltext import _DECODE_POSTINGS_PER_TASK
+
+    small_q = sum(df for df, _ in stats.values()) <= _DECODE_POSTINGS_PER_TASK
+
     def _job(rel, theta0: float) -> DataFrame:
         # the removal mask is the ONLY non-posting relation the kernel needs
         # (postings are self-contained: tf/dl/doc_key per row) — the old
@@ -521,13 +531,19 @@ def wand_topk(index: IndexHandle, query: str | QuerySpec, k: int = 100,
         # removal index at all, skip the cogroup machinery outright: one
         # grouped map over the term-pruned postings, nothing else in the plan.
         if removed is None:
+            if small_q:
+                rel = rel.repartition(1, "part")
             return rel.groupBy("part").applyInPandas(
                 lambda pdf: run_part(pdf, empty_removed, theta0),
                 "doc long, score double",
             )
+        rem = removed
+        if small_q:
+            rel = rel.repartition(1, "part")
+            rem = rem.repartition(1, "part")
         return (
             rel.groupBy("part")
-            .cogroup(removed.groupBy("part"))
+            .cogroup(rem.groupBy("part"))
             .applyInPandas(
                 lambda left, right: run_part(left, right, theta0),
                 "doc long, score double",
