@@ -120,7 +120,24 @@ def _ivf_dir(spark: SparkSession, sf_dir: str) -> str:
         # builders race safely — each builds into a pid-scoped tmp dir and
         # atomically renames it in; the loser keeps the winner's complete
         # dir (a finished dir is never overwritten, so no read-while-write).
-        d = os.path.join(tempfile.gettempdir(), f"miru_ivf_{tag}_c16v1")
+        # The key includes a digest of the embeddings fixture's file
+        # names/sizes/mtimes (r6 ADVICE): two sf_dirs sharing a basename,
+        # or a regenerated fixture at the same path, must NOT silently
+        # reuse an index built from different embeddings.
+        import hashlib
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+        if os.path.isdir(emb_path):
+            for fname in sorted(os.listdir(emb_path)):
+                st = os.stat(os.path.join(emb_path, fname))
+                h.update(f"{fname}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            st = os.stat(emb_path)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        d = os.path.join(
+            tempfile.gettempdir(), f"miru_ivf_{tag}_{h.hexdigest()[:12]}_c16v1"
+        )
         if not os.path.isdir(d):
             tmp = f"{d}.tmp.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)

@@ -380,7 +380,14 @@ def upsert_docs(
     A crash before it leaves the index serving the pre-repair state exactly;
     a retry overwrites the orphan wave. ``fail_before_commit`` injects that
     crash (tests only). After repair, query results equal a fresh build over
-    the repaired corpus (asserted in tests/test_resume.py).
+    the repaired corpus (asserted in tests/test_resume.py) — with one
+    documented exception (r6 ADVICE): n_docs/avgdl derive incrementally
+    from stage_info, so docs tombstoned by a PRIOR ``remove_docs`` stay
+    counted in the global idf/avgdl cells until ``compact()``. This matches
+    the reference's unadjusted global cardinality cells (LabFieldIndex
+    keeps the docId=-1 cell un-decremented on removal); a
+    remove-then-upsert sequence therefore scores with the pre-removal
+    corpus constants, not a fresh-build's.
 
     ``doc_key_col`` defaults to the build's dense id column; a natural-key
     index must pass resolved doc_keys explicitly. Unknown doc_keys are pure
@@ -644,6 +651,13 @@ def compact(
     ) + _glob.glob(f"{index_dir}/aux_g*"):
         if os.path.basename(p) not in live:
             shutil.rmtree(p, ignore_errors=True)
+    # also reclaim the un-suffixed generation-0 dirs: a crash between the
+    # FIRST compaction's manifest commit and its old-dir delete leaves
+    # base postings/stats/aux orphaned, and the generation glob above
+    # never matches them (r6 ADVICE — disk leak only, reads stay correct)
+    for base in ("postings", "stats", "aux"):
+        if dirs.get(base, base) != base and os.path.isdir(f"{index_dir}/{base}"):
+            shutil.rmtree(f"{index_dir}/{base}", ignore_errors=True)
 
     # largest-first under the chit budget
     sizes = {
