@@ -494,6 +494,7 @@ def lsh_cosine_pairs(
     n_tables: int = 8,
     seed: int = 42,
     broadcast_verify_bytes: int = 256 << 20,
+    fused_verify_min_pairs: int = 500_000,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs, exact-verified — the scale path.
 
@@ -521,6 +522,10 @@ def lsh_cosine_pairs(
     the join path runs unchanged — at 10^9 vectors the matrix cannot be
     broadcast and the bucketed joins remain the scale shape. Both paths
     run the identical ordered-fold float ops, so outputs are bit-equal.
+    Small inputs (expected candidates under ``fused_verify_min_pairs``)
+    also keep the join path: the fused path's fixed costs (matrix
+    broadcast + one kernel call per bucket group) exceed a small join
+    (measured +54% at 2k vectors when forced).
     """
     from typing import Iterator
 
@@ -563,7 +568,17 @@ def lsh_cosine_pairs(
     bucketed = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
         bucketize, "vec long, table int, bucket long"
     )
-    if emb.count() * dim * 8 <= broadcast_verify_bytes:
+    n_rows = emb.count()
+    # expected candidate volume if buckets were uniform — n²T/2^(P+1); the
+    # fused path's fixed costs (matrix collect+broadcast, one kernel call
+    # per (table, bucket) group) only pay off when the JVM join+distinct
+    # would otherwise churn through a large candidate stream. Both inputs
+    # are data/parameter properties, so the branch is width-independent.
+    est_pairs = n_rows * n_rows * n_tables // (2 ** (n_planes + 1))
+    if (
+        est_pairs >= fused_verify_min_pairs
+        and n_rows * dim * 8 <= broadcast_verify_bytes
+    ):
         # small-side-fits: one grouped kernel per (table, bucket) enumerates
         # the bucket's pairs AND verifies them against the broadcast matrix,
         # so the boundary carries the 160k bucket rows in and only verified

@@ -59,6 +59,21 @@ def test_simhash_pairs_cover_exact_dups(spark):
     assert (1, 2) in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_lsh_fused_verify_path_matches_join_path(spark, emb):
+    # the grouped-kernel (broadcast-matrix) verify path and the join path
+    # must be bit-equal; force each side of the crossover explicitly
+    kw = dict(threshold=0.45, n_planes=4, n_tables=24)
+    fused = similarity.lsh_cosine_pairs(
+        emb, "vec_id", "embedding", fused_verify_min_pairs=0, **kw
+    ).toPandas()
+    joined = similarity.lsh_cosine_pairs(
+        emb, "vec_id", "embedding", fused_verify_min_pairs=1 << 60, **kw
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(fused) == key(joined)
+    assert len(fused) > 0
+
+
 def test_cosine_pairs_refuses_corpus_scale(spark, emb):
     # the all-pairs broadcast is the declared ORACLE path — the scale
     # contract is enforced, not just documented
