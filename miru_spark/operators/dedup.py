@@ -171,8 +171,15 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> Dat
             x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
             if not len(d):
                 continue
-            # x, a < 2^31 ⇒ x*a + b < 2^62: no int64 overflow
-            h = (x[:, None] * av + bv) % M
+            # x, a < 2^31 ⇒ x*a + b < 2^62: no int64 overflow. Reduce mod
+            # M = 2^31−1 by Mersenne folding (2^31 ≡ 1 mod M): two
+            # fold-adds bring v into [0, M], then one conditional subtract
+            # lands EXACTLY v % M — same integers as the previous `% M`,
+            # without the 64-bit integer division (~2× on this inner loop).
+            h = x[:, None] * av + bv
+            h = (h & M) + (h >> 31)
+            h = (h & M) + (h >> 31)
+            h -= (h >= M) * M
             starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
             mins = np.minimum.reduceat(h, starts, axis=0)
             run_docs = d[starts]
@@ -391,7 +398,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(doc, canonical) — connected components over an undirected pair list;
     canonical = min node id of the component.
@@ -406,11 +417,62 @@ def connected_components(
     the lineage so the plan stays O(1) per round. The per-round driver
     scalar is the convergence count — the orchestrator pattern for iterative
     algorithms (the data never visits the driver).
+
+    ``driver_max_edges``: edge lists at or under this bound (a broadcast-
+    class footprint — ≤ ~16 MB of id pairs at the default) are solved with
+    a driver-side union-find in one bounded collect instead of the
+    multi-round shuffle loop; 0 disables the fast path. Both paths produce
+    identical (doc, canonical) labels.
     """
     # materialize the pair list BEFORE the symmetric union branches it:
     # both union legs read one plan, so an expensive upstream (the whole
     # minhash verify pipeline in dup_clusters) runs once, not once per leg
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint(eager=True)
+    # The pair list is a RESULT-class relation (verified near-dup pairs) —
+    # orders of magnitude smaller than the corpus it came from. When it fits
+    # the broadcast-class budget (≤ driver_max_edges ⇒ ≤ ~16 MB of longs,
+    # the same footprint class as a broadcast join's build side, which also
+    # collects to the driver), solve the components with a driver union-find
+    # in one bounded collect instead of ~4 shuffle jobs per pointer-jump
+    # round: the count is a cheap scan of the checkpointed relation, so the
+    # expensive upstream never runs twice, and graphs above the bound take
+    # the distributed loop below unchanged (the 100 TB shape). Labels are
+    # identical by construction: union-by-min keeps every root the minimum
+    # id of its tree, so find(n) is exactly the component min the
+    # min-label-propagation loop converges to.
+    if driver_max_edges and e.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in e.collect():
+            u, v = r["u"], r["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # attach larger root under smaller ⇒ root = min
+        rows = sorted((n, find(n)) for n in parent)
+        spark = pairs.sparkSession
+        # the distributed path's node column carries the UNION-widened type
+        # of (u, v); mirror it exactly so both paths return one schema
+        out_type = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .schema["u"].dataType.simpleString()
+        )
+        return spark.createDataFrame(
+            rows, f"doc {out_type}, canonical {out_type}"
+        )
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (

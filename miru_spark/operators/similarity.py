@@ -38,6 +38,22 @@ def _vec_dim(emb: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _count_and_dim(emb: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(n_rows, dim) in ONE tiny aggregate job — the pair operators need
+    both before building their plan, and paying two sequential driver jobs
+    (count(), then first-row size) doubles the fixed latency of small-input
+    calls. ``F.first`` on the size column matches _vec_dim's first-row
+    semantics (any row works: a mixed-dim column reshapes garbage either
+    way, exactly as before)."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n = int(row["n"])
+    if n == 0 or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot derive embedding dim from empty column '{vec_col}'")
+    return n, int(row["d"])
+
+
 def _dot(a, b):
     """Deterministic index-ordered fold — matches DuckDB's list_sum over
     list_transform(list_zip(...)) op-for-op."""
@@ -105,13 +121,20 @@ def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
     the way broadcast joins gate on estimated size. ``sq_norm`` replays the
     ordered j-fold (((0+x0²)+x1²)+…) per vector so downstream kernels get
     the SAME bits the per-pair fold would produce."""
-    pdf = emb.select(
+    import pyarrow as pa
+
+    tbl = emb.select(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
-    ).toPandas()
-    ids = pdf["i"].to_numpy(dtype=np.int64)
+    ).toArrow()
+    ids = tbl.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v")
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    n = len(ids)
+    mat = np.asarray(v.flatten(), dtype=np.float64).reshape(n, -1)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    mat = np.asarray(np.vstack(pdf["v"].to_numpy()[order]), dtype=np.float64)
+    mat = mat[order]
     matT = np.ascontiguousarray(mat.T)  # (dim, n): row j contiguous for the j-fold
     sq = np.zeros(len(ids), dtype=np.float64)
     for j in range(matT.shape[0]):  # ordered fold — oracle float parity
@@ -158,7 +181,7 @@ def cosine_pairs(
     import pyarrow as pa
 
     _require_integral_id(emb, id_col)
-    n_rows = emb.count()
+    n_rows, d = _count_and_dim(emb, vec_col)
     if n_rows > max_rows:
         raise ValueError(
             f"cosine_pairs is the all-pairs ORACLE path: {n_rows} rows would "
@@ -167,12 +190,16 @@ def cosine_pairs(
             f"(bucketed candidates + exact verify) or ivf_cosine_topk at "
             f"corpus scale, or raise max_rows explicitly."
         )
-    d = _vec_dim(emb, vec_col)
     if dim is not None and dim != d:
         raise ValueError(f"dim={dim} does not match data dim {d}")
     bc = _broadcast_matrix(emb, id_col, vec_col)
     # conservative raw-cosine pre-filter: round(c, 6) >= t ⟹ c >= t - 5e-7
     pre = threshold - 1e-6
+    # the BLAS gram pre-filter below computes the same true sum with a
+    # different summation order; |matmul − ordered fold| is bounded by
+    # ~dim·eps ≪ 1e-9 for unit-scale cosines, so widening the cut by 1e-9
+    # can only ADD candidates (which the exact-fold re-filter then drops)
+    pre_blas = pre - 1e-9
     width = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.select(F.col(id_col).cast("long").alias("vec_a")).repartition(width)
 
@@ -180,29 +207,64 @@ def cosine_pairs(
         ids, matT, sq = bc.value
         norms = np.sqrt(sq)
         ndim = matT.shape[0]
+        n = len(ids)
+        # pre-normalized row/column copies: the gram slab is then the raw
+        # cosine directly — no per-slab outer(norms)·divide traffic
+        matn = np.ascontiguousarray(matT.T) / norms[:, None]  # (n, dim)
+        matnT = np.ascontiguousarray(matn.T)  # (dim, n)
+        # block the left rows so each gram slab stays ~32 MB
+        blk = max(16, min(1024, (32 << 20) // max(1, 8 * n)))
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            for va in batch.column("vec_a").to_numpy(zero_copy_only=False):
-                lo = int(np.searchsorted(ids, va, side="right"))
-                if lo >= len(ids):
+            va_all = batch.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            va_all = np.sort(va_all)  # ascending ⇒ each block shares a suffix
+            ai_all = np.searchsorted(ids, va_all, side="left")
+            lo_all = np.searchsorted(ids, va_all, side="right")
+            ia_parts: list[np.ndarray] = []
+            ib_parts: list[np.ndarray] = []
+            for s in range(0, len(va_all), blk):
+                ai_b = ai_all[s : s + blk]
+                lo_b = lo_all[s : s + blk]
+                base = int(lo_b[0])  # rows sorted ⇒ smallest suffix start
+                if base >= n:
                     continue
-                ai = int(np.searchsorted(ids, va, side="left"))
-                dot = np.zeros(len(ids) - lo, dtype=np.float64)
-                for j in range(ndim):  # ordered fold — bit parity with oracle
-                    dot += matT[j, ai] * matT[j, lo:]
-                cos = dot / (norms[ai] * norms[lo:])
-                keep = np.flatnonzero(cos >= pre)
-                if len(keep) == 0:
+                # one BLAS gram slab scores this block against its shared
+                # suffix at the strictly-wider pre_blas cut — candidate SET
+                # only, values discarded and recomputed exactly below
+                raw = matn[ai_b] @ matnT[:, base:]
+                hit_r, hit_c = np.nonzero(raw >= pre_blas)
+                if len(hit_r) == 0:
                     continue
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.full(len(keep), va, dtype=np.int64)),
-                        pa.array(ids[lo:][keep]),
-                        pa.array(cos[keep]),
-                    ],
-                    names=["vec_a", "vec_b", "cosine"],
-                )
+                hit_c = hit_c + base
+                keep = hit_c >= lo_b[hit_r]  # strictly-greater partners only
+                if not keep.any():
+                    continue
+                # np.nonzero is row-major ⇒ per left row ascending partner
+                ia_parts.append(ai_b[hit_r[keep]])
+                ib_parts.append(hit_c[keep])
+            if not ia_parts:
+                continue
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            # exact ordered j-fold ONLY for the surviving candidates — the
+            # emitted values are bit-identical to the full-fold kernel, and
+            # the original pre cut re-applies on the folded values
+            dot = np.zeros(len(ia), dtype=np.float64)
+            for j in range(ndim):  # ordered fold — bit parity with oracle
+                dot += matT[j, ia] * matT[j, ib]
+            cos = dot / (norms[ia] * norms[ib])
+            kf = cos >= pre
+            if not kf.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[ia[kf]]),
+                    pa.array(ids[ib[kf]]),
+                    pa.array(cos[kf]),
+                ],
+                names=["vec_a", "vec_b", "cosine"],
+            )
 
     return (
         a.mapInArrow(kernel, "vec_a long, vec_b long, cosine double")
@@ -533,7 +595,9 @@ def lsh_cosine_pairs(
 
     _require_integral_id(emb, id_col)
     if dim is None:
-        dim = _vec_dim(emb, vec_col)
+        n_rows, dim = _count_and_dim(emb, vec_col)  # one job for both scalars
+    else:
+        n_rows = emb.count()
     all_planes = np.stack(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (T, P, dim)
@@ -568,55 +632,91 @@ def lsh_cosine_pairs(
     bucketed = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
         bucketize, "vec long, table int, bucket long"
     )
-    n_rows = emb.count()
     # expected candidate volume if buckets were uniform — n²T/2^(P+1); the
-    # fused path's fixed costs (matrix collect+broadcast, one kernel call
-    # per (table, bucket) group) only pay off when the JVM join+distinct
-    # would otherwise churn through a large candidate stream. Both inputs
-    # are data/parameter properties, so the branch is width-independent.
+    # fused path's fixed costs (matrix collect+broadcast) only pay off when
+    # the JVM join+distinct would otherwise churn through a large candidate
+    # stream. Both inputs are data/parameter properties, so the branch is
+    # width-independent.
     est_pairs = n_rows * n_rows * n_tables // (2 ** (n_planes + 1))
     if (
         est_pairs >= fused_verify_min_pairs
         and n_rows * dim * 8 <= broadcast_verify_bytes
     ):
-        # small-side-fits: one grouped kernel per (table, bucket) enumerates
-        # the bucket's pairs AND verifies them against the broadcast matrix,
-        # so the boundary carries the 160k bucket rows in and only verified
-        # pairs out — the 7M-candidate JVM join, its distinct shuffle, and
-        # the vector-attach joins all disappear; the final distinct dedups
-        # the ~4k verified pairs across tables (identical rows per pair)
+        # small-side-fits: ONE kernel per shuffle partition enumerates and
+        # verifies every (table, bucket) group hashed to it against the
+        # broadcast matrix, so the boundary carries the n·T bucket rows in
+        # and only verified pairs out — the 7M-candidate JVM join, its
+        # distinct shuffle, and the vector-attach joins all disappear; the
+        # final distinct dedups the ~4k verified pairs across tables
+        # (identical rows per pair). The partition count derives from the
+        # expected VERIFY work (pairs), not the session width, so plans are
+        # identical at N and 4N cores. Per bucket the candidate scores come
+        # from one BLAS gram (m×m) at a strictly-wider cut; survivors are
+        # re-scored with the exact ordered j-fold, so emitted rows are
+        # bit-identical to the join path (same fold, same round).
         bc = _broadcast_matrix(emb, id_col, vec_col)
+        verify_width = max(1, min(4096, -(-est_pairs // 250_000)))
+        thr_blas = threshold - 1e-6  # round(fold,6) ≥ t ⟹ fold ≥ t−5e-7 ≫ gram err
 
-        def bucket_verify(tbl: pa.Table) -> pa.Table:
+        def partition_verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             ids, matT, sq = bc.value
             ndim = matT.shape[0]
-            g = np.sort(tbl.column("vec").to_numpy(zero_copy_only=False).astype(np.int64))
-            m = len(g)
-            empty = pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-            if m < 2:
-                return empty
-            iu, ju = np.triu_indices(m, k=1)
-            va, vb = g[iu], g[ju]  # sorted ascending ⇒ va < vb
-            ia = np.searchsorted(ids, va)
-            ib = np.searchsorted(ids, vb)
-            dot = np.zeros(len(va), dtype=np.float64)
+            mat = np.ascontiguousarray(matT.T)  # (n, dim) rows for the grams
+            norms = np.sqrt(sq)
+            chunks = [b for b in batches if b.num_rows]
+            if not chunks:
+                return
+            tbl = pa.Table.from_batches(chunks)
+            v = tbl.column("vec").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = tbl.column("table").to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ = tbl.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+            # one stable sort groups the partition's rows by (table, bucket)
+            # with ids ascending inside each group — the same per-bucket
+            # sorted-g ordering the grouped kernel produced
+            order = np.lexsort((v, b_, t))
+            v, t, b_ = v[order], t[order], b_[order]
+            key_change = (t[1:] != t[:-1]) | (b_[1:] != b_[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(key_change) + 1, [len(v)]))
+            ia_parts: list[np.ndarray] = []
+            ib_parts: list[np.ndarray] = []
+            for gi in range(len(starts) - 1):
+                s, e = starts[gi], starts[gi + 1]
+                m = e - s
+                if m < 2:
+                    continue
+                g = v[s:e]
+                idx = np.searchsorted(ids, g)
+                G = mat[idx]
+                nn = norms[idx]
+                raw = (G @ G.T) / np.outer(nn, nn)
+                iu, ju = np.triu_indices(m, k=1)
+                cand = raw[iu, ju] >= thr_blas
+                if not cand.any():
+                    continue
+                ia_parts.append(idx[iu[cand]])
+                ib_parts.append(idx[ju[cand]])
+            if not ia_parts:
+                return
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            dot = np.zeros(len(ia), dtype=np.float64)
             for j in range(ndim):  # ordered fold — bit parity with the join path
                 dot += matT[j, ia] * matT[j, ib]
-            cos = np.round(dot / (np.sqrt(sq[ia]) * np.sqrt(sq[ib])), 6)
+            cos = np.round(dot / (norms[ia] * norms[ib]), 6)
             keep = cos >= threshold
-            if not keep.any():
-                return empty
-            return pa.table(
-                {"vec_a": pa.array(va[keep]), "vec_b": pa.array(vb[keep]),
-                 "cosine": pa.array(cos[keep])}
-            )
+            if keep.any():
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[ia[keep]]),
+                        pa.array(ids[ib[keep]]),
+                        pa.array(cos[keep]),
+                    ],
+                    names=["vec_a", "vec_b", "cosine"],
+                )
 
         return (
-            bucketed.groupBy("table", "bucket")
-            .applyInArrow(bucket_verify, "vec_a long, vec_b long, cosine double")
+            bucketed.repartition(verify_width, "table", "bucket")
+            .mapInArrow(partition_verify, "vec_a long, vec_b long, cosine double")
             .dropDuplicates(["vec_a", "vec_b"])
         )
 

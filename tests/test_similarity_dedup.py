@@ -179,23 +179,32 @@ def test_ivf_persisted_index_partition_pruned_search(spark, emb, tmp_path):
 
 def test_connected_components_chain_and_jump(spark):
     # chain 1-2-3-7 must collapse to canonical 1 (pair emission alone
-    # under-deletes chains); disjoint 10-11 keeps its own canonical
+    # under-deletes chains); disjoint 10-11 keeps its own canonical —
+    # on BOTH the driver union-find fast path (default) and the
+    # distributed pointer-jump loop (driver_max_edges=0 forces it)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (7, 3)], "doc_a long, doc_b long"
     )
-    got = sorted(tuple(r) for r in dedup.connected_components(pairs).collect())
-    assert got == [(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)]
+    expect = [(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)]
+    fast = dedup.connected_components(pairs)
+    dist = dedup.connected_components(pairs, driver_max_edges=0)
+    assert sorted(tuple(r) for r in fast.collect()) == expect
+    assert sorted(tuple(r) for r in dist.collect()) == expect
+    assert fast.schema == dist.schema
 
 
 def test_connected_components_long_path_converges(spark):
     # a 64-node path graph: plain propagation would need 63 rounds;
-    # pointer jumping must converge well inside max_iter=25
+    # pointer jumping must converge well inside max_iter=25 (distributed
+    # path forced), and the driver fast path must agree exactly
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
-    got = dedup.connected_components(pairs, max_iter=25).collect()
+    got = dedup.connected_components(pairs, max_iter=25, driver_max_edges=0).collect()
     assert {r.canonical for r in got} == {0}
     assert len(got) == 64
+    fast = dedup.connected_components(pairs, max_iter=25).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, got))
 
 
 def test_dup_clusters_match_transitive_closure_of_pairs(spark, documents):
