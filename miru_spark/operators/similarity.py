@@ -556,7 +556,7 @@ def lsh_cosine_pairs(
     n_tables: int = 8,
     seed: int = 42,
     broadcast_verify_bytes: int = 256 << 20,
-    fused_verify_min_pairs: int = 500_000,
+    fused_verify_min_pairs: int = 0,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs, exact-verified — the scale path.
 
@@ -584,10 +584,12 @@ def lsh_cosine_pairs(
     the join path runs unchanged — at 10^9 vectors the matrix cannot be
     broadcast and the bucketed joins remain the scale shape. Both paths
     run the identical ordered-fold float ops, so outputs are bit-equal.
-    Small inputs (expected candidates under ``fused_verify_min_pairs``)
-    also keep the join path: the fused path's fixed costs (matrix
-    broadcast + one kernel call per bucket group) exceed a small join
-    (measured +54% at 2k vectors when forced).
+    ``fused_verify_min_pairs`` routes inputs whose expected candidate
+    volume falls under it to the join path; it defaults to 0 because the
+    partition-batched kernel's fixed costs were measured BELOW the join
+    path's at every size tried (500 / 2k / 20k vectors: −30…−70%) — the
+    original 500k gate guarded the earlier one-kernel-call-per-bucket
+    shape, whose per-group overhead did lose at 2k vectors (+54%).
     """
     from typing import Iterator
 
@@ -632,11 +634,8 @@ def lsh_cosine_pairs(
     bucketed = emb.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
         bucketize, "vec long, table int, bucket long"
     )
-    # expected candidate volume if buckets were uniform — n²T/2^(P+1); the
-    # fused path's fixed costs (matrix collect+broadcast) only pay off when
-    # the JVM join+distinct would otherwise churn through a large candidate
-    # stream. Both inputs are data/parameter properties, so the branch is
-    # width-independent.
+    # expected candidate volume if buckets were uniform — n²T/2^(P+1);
+    # data/parameter properties only, so the branch is width-independent.
     est_pairs = n_rows * n_rows * n_tables // (2 ** (n_planes + 1))
     if (
         est_pairs >= fused_verify_min_pairs
