@@ -203,18 +203,22 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banding: docs sharing any band bucket become candidate pairs.
 
-    Shape (r7): the naive self-join sort-merges the full (doc × bands)
-    relation against itself — at sf1.0 that sorts 2 × 1.6M rows AND
-    recomputes the upstream signature kernel once per join side — even
-    though almost every bucket is a singleton that can never produce a
-    pair. Instead: one map-side-combinable count finds the 'hot' buckets
-    (≥ 2 docs, a tiny relation), a broadcast semi-join keeps only banded
-    rows in hot buckets, and the pair self-join runs on that small
-    remainder. Candidates are identical — singleton buckets contribute no
-    pairs by definition. ``banded`` is cached so the count pass and the
-    filter pass share one signature computation (it backs both sides of
-    the final join too); the cache is a bounded (doc × bands) long-pair
-    relation, freed when the plan's lifecycle ends."""
+    Shape (r7): ONE kernel per shuffle partition of the (doc, band, bucket)
+    relation sorts its rows by (band, bucket) and enumerates each bucket's
+    doc pairs as numpy index arithmetic, chunk-emitted so a mega-bucket
+    (an exact-dup group whose every band collides) streams instead of
+    materializing C(m,2) at once. This replaces the previous hot-bucket
+    count job + broadcast semi-join + sort-merge self-join (which also
+    forced caching ``banded`` to share the signature computation across
+    its three consumers) with a single exchange of the banded rows;
+    singleton buckets — almost every bucket — are skipped at memory speed
+    inside the kernel instead of via a pre-filter pass. The candidate SET
+    is identical by construction: pairs sharing (band, bucket), doc_a <
+    doc_b, deduped across bands by the same final distinct."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
     banded = sig.select(
         "doc",
         F.explode(
@@ -229,24 +233,61 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    banded = banded.cache()
-    hot = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("band", "bucket")
-    )
-    in_hot = banded.join(F.broadcast(hot), ["band", "bucket"], "leftsemi")
-    a = in_hot.alias("a")
-    b = in_hot.alias("b")
+
+    CHUNK = 1 << 20  # pairs buffered per emitted batch — bounds kernel memory
+
+    def pairs_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        d = tbl.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        bd = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = tbl.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, bk, bd))
+        d, bd, bk = d[order], bd[order], bk[order]
+        change = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1, [len(d)]))
+        buf_a: list[np.ndarray] = []
+        buf_b: list[np.ndarray] = []
+        buffered = 0
+        for gi in range(len(starts) - 1):
+            s, e = int(starts[gi]), int(starts[gi + 1])
+            m = e - s
+            if m < 2:
+                continue
+            g = d[s:e]  # ascending within the bucket (lexsort) ⇒ a < b
+            if m <= 2048:
+                iu, ju = np.triu_indices(m, k=1)
+                buf_a.append(g[iu])
+                buf_b.append(g[ju])
+                buffered += len(iu)
+            else:
+                for i in range(m - 1):  # big buckets: one vector op per row
+                    buf_a.append(np.full(m - 1 - i, g[i], dtype=np.int64))
+                    buf_b.append(g[i + 1 :])
+                    buffered += m - 1 - i
+                    if buffered >= CHUNK:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
+                            names=["doc_a", "doc_b"],
+                        )
+                        buf_a, buf_b, buffered = [], [], 0
+            if buffered >= CHUNK:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
+                    names=["doc_a", "doc_b"],
+                )
+                buf_a, buf_b, buffered = [], [], 0
+        if buffered:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
+                names=["doc_a", "doc_b"],
+            )
+
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        banded.repartition("band", "bucket")
+        .mapInArrow(pairs_kernel, "doc_a long, doc_b long")
         .distinct()
     )
 
