@@ -132,7 +132,9 @@ def _hash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, k: int = MINHASH_K, seed: int = 42, doc_grouped: bool = False
+) -> DataFrame:
     """(doc, sig: array<long>) — k min-hashes.
 
     h_i(s) = (a_i * x + b_i) mod M31 over x = xxhash64(shingle) mod M31
@@ -143,10 +145,18 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, seed: int = 42) -> Dat
     measured at 31% of the whole bench suite. Map-side pre-aggregation is
     traded for one (doc, x) shuffle; rows per doc are bounded by doc length,
     so no reducer hot spot.
+
+    ``doc_grouped=True`` asserts each doc's rows already form ONE
+    contiguous run inside ONE partition — true for ``shingles()`` output,
+    whose kernel emits every doc's shingles consecutively and is only
+    narrowly transformed downstream — and skips the repartition+sort
+    exchange entirely (the run-carry kernel needs runs, not global order).
+    A caller passing shuffled rows here would get split signatures, so it
+    stays opt-in for relations this module built itself.
     """
     a, b = _hash_params(k, seed)
     hashed = sh.select("doc", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("x"))
-    src = hashed.repartition("doc").sortWithinPartitions("doc")
+    src = hashed if doc_grouped else hashed.repartition("doc").sortWithinPartitions("doc")
     av = a.reshape(1, -1)
     bv = b.reshape(1, -1)
     M = _MERSENNE
@@ -311,7 +321,10 @@ def minhash_dedup_pairs(
     probability; the expensive all-pairs shingle join never happens.
     """
     sh = shingles(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, k, seed)
+    # sh is this module's own shingle kernel output (per-doc contiguous
+    # runs, narrowly transformed) — the signature pass can skip its
+    # repartition+sort exchange
+    sig = minhash_signatures(sh, k, seed, doc_grouped=True)
     # cand backs three consumers (the a-side join and both legs of the
     # candidate-doc semi-filter); cache it or each recomputes the banding
     cand = lsh_candidate_pairs(sig, bands, rows).cache()

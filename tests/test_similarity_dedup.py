@@ -46,6 +46,19 @@ def test_shingles_short_docs_no_crash(spark):
     assert {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])} == {(1, 5)}
 
 
+def test_minhash_signatures_doc_grouped_matches_sorted_path(spark, documents):
+    # the exchange-free doc_grouped path (valid for shingles() output, whose
+    # kernel emits each doc's rows as one contiguous run) must produce the
+    # exact signatures of the repartition+sort path
+    sh = dedup.shingles(documents, "doc_id", "text", n=3).cache()
+    sorted_sig = dedup.minhash_signatures(sh, doc_grouped=False).collect()
+    grouped_sig = dedup.minhash_signatures(sh, doc_grouped=True).collect()
+    key = lambda rows: sorted((r["doc"], tuple(r["sig"])) for r in rows)
+    assert key(sorted_sig) == key(grouped_sig)
+    assert len(sorted_sig) > 0
+    sh.unpersist()
+
+
 def test_simhash_pairs_cover_exact_dups(spark):
     df = spark.createDataFrame(
         [
