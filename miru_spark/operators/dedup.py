@@ -337,7 +337,11 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    shc = sh.join(F.broadcast(cdocs), "doc", "leftsemi")
+    # shc backs FOUR plan branches (both attach joins and both size legs);
+    # uncached, each branch re-runs the semi-filter pass over the full
+    # shingle cache — cache the ~candidate-docs-sized remainder once so the
+    # branches share it (same bounded-lifecycle class as sh/cand above)
+    shc = sh.join(F.broadcast(cdocs), "doc", "leftsemi").cache()
     sizes = shc.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = shc.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("s"))
     b_sh = shc.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("s"))
