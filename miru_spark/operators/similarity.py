@@ -54,32 +54,59 @@ def _count_and_dim(emb: DataFrame, vec_col: str) -> tuple[int, int]:
     return n, int(row["d"])
 
 
-def _dot(a, b):
-    """Deterministic index-ordered fold — matches DuckDB's list_sum over
-    list_transform(list_zip(...)) op-for-op."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-
-
 def cosine_scores(emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float]) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    return emb.select(
-        F.col(id_col).alias("vec"),
-        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)), 6).alias("cosine"),
+    """(vec, cosine) for every row — one Arrow kernel replaying the
+    Catalyst/DuckDB ordered fold bit-for-bit (the ivf_search score kernel's
+    exact op sequence, whose full-probe bit-identity to the previous
+    Catalyst-fold form is test-pinned), instead of ~3 interpreted
+    higher-order lambda calls per element per row."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    qn = float(np.sqrt(np.sum(q**2)))
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            valid = None
+            if col.null_count:
+                # null vec → null cosine, like the Catalyst fold's null
+                # propagation; score only the valid rows
+                valid = col.is_valid().to_numpy(zero_copy_only=False)
+                col = col.filter(pa.array(valid))
+            m = len(col)
+            cos_out = np.full(n, np.nan, dtype=np.float64)
+            if m:
+                vecs = np.asarray(col.flatten(), dtype=np.float64).reshape(m, dim)
+                dot = np.zeros(m, dtype=np.float64)
+                nv = np.zeros(m, dtype=np.float64)
+                for j in range(dim):  # ordered fold — oracle float parity
+                    x = vecs[:, j]
+                    dot += x * q[j]
+                    nv += x * x
+                cos = np.round(dot / (np.sqrt(nv) * qn), 6)
+                if valid is None:
+                    cos_out = cos
+                else:
+                    cos_out[valid] = cos
+            cos_arr = (
+                pa.array(cos_out)
+                if valid is None
+                else pa.array(cos_out, mask=~valid)
+            )
+            yield pa.RecordBatch.from_arrays([ids, cos_arr], names=["vec", "cosine"])
+
+    return emb.select(F.col(id_col).alias("vec"), F.col(vec_col)).mapInArrow(
+        score, f"vec {emb.schema[id_col].dataType.simpleString()}, cosine double"
     )
 
 
