@@ -65,6 +65,10 @@ def main() -> None:
             emb, "vec_id", "embedding", threshold=0.45, n_planes=8, n_tables=8),
         "q_minhash_dedup": lambda: dedup.minhash_dedup_pairs(
             docs, "doc_id", "text", n=3, threshold=0.85),
+        "q_cosine_topk": lambda: similarity.cosine_topk(
+            emb, "vec_id", "embedding",
+            [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+            50),
         "q_strut": lambda: models.strut_score(
             events, "event_id", feats,
             models.catwalk_model(events, F.col("event_type") == "error", feats),
