@@ -176,6 +176,24 @@ def minhash_signatures(
 
         carry_doc = None
         carry_min = None
+        # doc_grouped PROMISES one contiguous run per doc per partition; a
+        # doc re-appearing after its run closed means the caller's layout
+        # guarantee is broken, and silently emitting two partial signatures
+        # would corrupt downstream banding — fail loudly instead. (The
+        # sorted path merges duplicates by construction, so no set there.)
+        closed: set | None = set() if doc_grouped else None
+
+        def close(doc) -> None:
+            if closed is not None:
+                if doc in closed:
+                    raise RuntimeError(
+                        f"minhash_signatures(doc_grouped=True): doc {doc} "
+                        f"appears in more than one run — the input is not "
+                        f"doc-grouped; pass doc_grouped=False (or fix the "
+                        f"producer's layout)"
+                    )
+                closed.add(doc)
+
         for batch in batches:
             d = batch.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
             x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -197,12 +215,17 @@ def minhash_signatures(
                 if run_docs[0] == carry_doc:
                     mins[0] = np.minimum(mins[0], carry_min)
                 else:
+                    close(carry_doc)
                     yield emit(np.array([carry_doc]), carry_min[None, :])
             carry_doc = int(run_docs[-1])
             carry_min = mins[-1].copy()
             if len(run_docs) > 1:
+                if closed is not None:
+                    for rd in run_docs[:-1]:
+                        close(int(rd))
                 yield emit(run_docs[:-1], mins[:-1])
         if carry_doc is not None:
+            close(carry_doc)
             yield emit(np.array([carry_doc]), carry_min[None, :])
 
     return src.mapInArrow(_sig, "doc long, sig array<long>")
@@ -261,6 +284,16 @@ def lsh_candidate_pairs(
         buf_a: list[np.ndarray] = []
         buf_b: list[np.ndarray] = []
         buffered = 0
+
+        def flush() -> pa.RecordBatch:
+            nonlocal buf_a, buf_b, buffered
+            rb = pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
+                names=["doc_a", "doc_b"],
+            )
+            buf_a, buf_b, buffered = [], [], 0
+            return rb
+
         for gi in range(len(starts) - 1):
             s, e = int(starts[gi]), int(starts[gi + 1])
             m = e - s
@@ -278,22 +311,11 @@ def lsh_candidate_pairs(
                     buf_b.append(g[i + 1 :])
                     buffered += m - 1 - i
                     if buffered >= CHUNK:
-                        yield pa.RecordBatch.from_arrays(
-                            [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
-                            names=["doc_a", "doc_b"],
-                        )
-                        buf_a, buf_b, buffered = [], [], 0
+                        yield flush()
             if buffered >= CHUNK:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
-                    names=["doc_a", "doc_b"],
-                )
-                buf_a, buf_b, buffered = [], [], 0
+                yield flush()
         if buffered:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
-                names=["doc_a", "doc_b"],
-            )
+            yield flush()
 
     return (
         banded.repartition("band", "bucket")
@@ -509,8 +531,13 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in e.collect():
-            u, v = r["u"], r["v"]
+        # toArrow keeps the driver footprint at the advertised two int64
+        # arrays (~16 MB at the bound) instead of driver_max_edges pyspark
+        # Row objects
+        etbl = e.toArrow()
+        us = etbl.column("u").to_pylist()
+        vs = etbl.column("v").to_pylist()
+        for u, v in zip(us, vs):
             if u not in parent:
                 parent[u] = u
             if v not in parent:

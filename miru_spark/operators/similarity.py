@@ -1,10 +1,13 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine is the exact baseline (Catalyst-only: zip_with +
-ordered-fold aggregate, so float results are deterministic and match a SQL
-oracle op-for-op). The scale paths are random-hyperplane LSH bucketing and a
-coarse-quantizer IVF: both turn the all-pairs/all-docs scan into a bucketed
-join, which is the only shape that survives 10^9+ vectors.
+Brute-force cosine is the exact baseline: Arrow kernels replay the
+ordered fold (((0+p0)+p1)+… in ascending index order) bit-for-bit, so
+float results are deterministic and match the DuckDB SQL oracle's
+list-fold op-for-op — the same parity contract the original Catalyst
+zip_with/aggregate form carried, at native-kernel speed. The scale paths
+are random-hyperplane LSH bucketing and a coarse-quantizer IVF: both turn
+the all-pairs/all-docs scan into a bucketed join, which is the only shape
+that survives 10^9+ vectors.
 """
 
 from __future__ import annotations
@@ -77,11 +80,19 @@ def cosine_scores(emb: DataFrame, id_col: str, vec_col: str, query_vec: list[flo
             col = batch.column(1)
             if isinstance(col, pa.ChunkedArray):  # pragma: no cover
                 col = col.combine_chunks()
+            import pyarrow.compute as pc
+
+            # null vec → null cosine, like the Catalyst fold's null
+            # propagation — and a row whose length differs from the query
+            # dim also folded to null there (zip_with pads the shorter side
+            # with nulls), so treat it the same instead of crashing reshape
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            valid_mask = (lens == dim) & ~np.asarray(
+                pc.is_null(col).to_numpy(zero_copy_only=False), dtype=bool
+            )
             valid = None
-            if col.null_count:
-                # null vec → null cosine, like the Catalyst fold's null
-                # propagation; score only the valid rows
-                valid = col.is_valid().to_numpy(zero_copy_only=False)
+            if not valid_mask.all():
+                valid = valid_mask
                 col = col.filter(pa.array(valid))
             m = len(col)
             cos_out = np.full(n, np.nan, dtype=np.float64)
@@ -141,13 +152,17 @@ def _ordered_fold_cosine(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
 
 def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
     """Collect (id, vec) once, id-sorted, and broadcast it to executors as
-    (ids int64[n], matT float64[dim, n], sq_norm float64[n]).
+    (ids int64[n], mat float64[n, dim] C-contiguous, matn = mat/‖row‖,
+    sq_norm float64[n]).
 
     Same footprint class as a Spark broadcast-hash build side (which also
     collects to the driver first) — callers gate it on a row bound exactly
     the way broadcast joins gate on estimated size. ``sq_norm`` replays the
     ordered j-fold (((0+x0²)+x1²)+…) per vector so downstream kernels get
-    the SAME bits the per-pair fold would produce."""
+    the SAME bits the per-pair fold would produce. The row-major and
+    pre-normalized forms ride the broadcast so kernels never rebuild
+    full-matrix copies per task (one shared copy per executor; exact-fold
+    consumers take the zero-copy ``mat.T`` view)."""
     import pyarrow as pa
 
     tbl = emb.select(
@@ -158,16 +173,19 @@ def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
     if isinstance(v, pa.ChunkedArray):
         v = v.combine_chunks()
     n = len(ids)
+    if n == 0:
+        raise ValueError("cannot broadcast an empty embedding matrix")
     mat = np.asarray(v.flatten(), dtype=np.float64).reshape(n, -1)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    mat = mat[order]
-    matT = np.ascontiguousarray(mat.T)  # (dim, n): row j contiguous for the j-fold
-    sq = np.zeros(len(ids), dtype=np.float64)
+    mat = np.ascontiguousarray(mat[order])
+    sq = np.zeros(n, dtype=np.float64)
+    matT = mat.T  # view; row j of the view is the j-fold slice
     for j in range(matT.shape[0]):  # ordered fold — oracle float parity
         x = matT[j]
         sq += x * x
-    return emb.sparkSession.sparkContext.broadcast((ids, matT, sq))
+    matn = mat / np.sqrt(sq)[:, None]
+    return emb.sparkSession.sparkContext.broadcast((ids, mat, matn, sq))
 
 
 def cosine_pairs(
@@ -231,14 +249,10 @@ def cosine_pairs(
     a = emb.select(F.col(id_col).cast("long").alias("vec_a")).repartition(width)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ids, matT, sq = bc.value
+        ids, mat, matn, sq = bc.value  # broadcast-shared; no per-task copies
         norms = np.sqrt(sq)
-        ndim = matT.shape[0]
-        n = len(ids)
-        # pre-normalized row/column copies: the gram slab is then the raw
-        # cosine directly — no per-slab outer(norms)·divide traffic
-        matn = np.ascontiguousarray(matT.T) / norms[:, None]  # (n, dim)
-        matnT = np.ascontiguousarray(matn.T)  # (dim, n)
+        n, ndim = mat.shape
+        matT = mat.T  # zero-copy view for the exact fold's j-slices
         # block the left rows so each gram slab stays ~32 MB
         blk = max(16, min(1024, (32 << 20) // max(1, 8 * n)))
         for batch in batches:
@@ -259,7 +273,8 @@ def cosine_pairs(
                 # one BLAS gram slab scores this block against its shared
                 # suffix at the strictly-wider pre_blas cut — candidate SET
                 # only, values discarded and recomputed exactly below
-                raw = matn[ai_b] @ matnT[:, base:]
+                # (mat[nbase:].T stays a BLAS transpose flag, not a copy)
+                raw = matn[ai_b] @ matn[base:].T
                 hit_r, hit_c = np.nonzero(raw >= pre_blas)
                 if len(hit_r) == 0:
                     continue
@@ -665,7 +680,8 @@ def lsh_cosine_pairs(
     # data/parameter properties only, so the branch is width-independent.
     est_pairs = n_rows * n_rows * n_tables // (2 ** (n_planes + 1))
     if (
-        est_pairs >= fused_verify_min_pairs
+        n_rows >= 2  # <2 rows: no pairs possible, and nothing to broadcast
+        and est_pairs >= fused_verify_min_pairs
         and n_rows * dim * 8 <= broadcast_verify_bytes
     ):
         # small-side-fits: ONE kernel per shuffle partition enumerates and
@@ -685,9 +701,9 @@ def lsh_cosine_pairs(
         thr_blas = threshold - 1e-6  # round(fold,6) ≥ t ⟹ fold ≥ t−5e-7 ≫ gram err
 
         def partition_verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            ids, matT, sq = bc.value
-            ndim = matT.shape[0]
-            mat = np.ascontiguousarray(matT.T)  # (n, dim) rows for the grams
+            ids, mat, _matn, sq = bc.value  # broadcast-shared; no per-task copies
+            ndim = mat.shape[1]
+            matT = mat.T  # zero-copy view for the exact fold's j-slices
             norms = np.sqrt(sq)
             chunks = [b for b in batches if b.num_rows]
             if not chunks:

@@ -46,6 +46,47 @@ def test_shingles_short_docs_no_crash(spark):
     assert {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])} == {(1, 5)}
 
 
+def test_lsh_pairs_empty_and_single_row_inputs(spark):
+    # with the fused path the default, degenerate inputs must return empty
+    # cleanly (an explicit dim skips the empty-input dim probe, so the
+    # n_rows >= 2 gate is what routes them away from the matrix broadcast)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.lsh_cosine_pairs(
+        empty, "vec_id", "embedding", threshold=0.5, dim=8).count() == 0
+    one = spark.createDataFrame([(1, [1.0] * 8)], "vec_id long, embedding array<float>")
+    assert similarity.lsh_cosine_pairs(
+        one, "vec_id", "embedding", threshold=0.5, dim=8).count() == 0
+
+
+def test_cosine_scores_null_and_mismatched_dim_rows(spark):
+    # the Arrow fold kernel must keep the Catalyst fold's null propagation:
+    # null vectors AND vectors whose length differs from the query dim
+    # score null instead of crashing the kernel's reshape
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0]), (4, [0.0, 1.0]), (5, [])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec"]: r["cosine"] for r in
+           similarity.cosine_scores(df, "vec_id", "embedding", [1.0, 0.0]).collect()}
+    assert got[1] == 1.0 and got[4] == 0.0
+    assert got[2] is None and got[3] is None and got[5] is None
+
+
+def test_minhash_signatures_doc_grouped_guard_raises_on_split_runs(spark):
+    # doc_grouped promises one contiguous run per doc; a split run must
+    # fail loudly, not emit two partial signatures
+    import pytest
+
+    sh_bad = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (1, "cc")], "doc long, shingle string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="not doc-grouped"):
+        dedup.minhash_signatures(sh_bad, doc_grouped=True).collect()
+    # the sorting default merges the same input correctly
+    assert sorted(r["doc"] for r in
+                  dedup.minhash_signatures(sh_bad, doc_grouped=False).collect()) == [1, 2]
+
+
 def test_minhash_signatures_doc_grouped_matches_sorted_path(spark, documents):
     # the exchange-free doc_grouped path (valid for shingles() output, whose
     # kernel emits each doc's rows as one contiguous run) must produce the
